@@ -1,0 +1,85 @@
+"""Headline benchmark: contigs aligned+scored per second per chip.
+
+This is BASELINE.json's primary metric — the GCN scoring hot path
+(encode + forward) end-to-end on one chip, on synthetic 10 kb contigs.
+``vs_baseline`` compares against the torch-CPU reference-stack
+measurement stored in benchmarks/baseline_cpu.json (see
+benchmarks/torch_baseline.py for methodology).
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params, model_inputs_from_features, forward
+    from palace_tpu.ops.encoder import encode_batch
+
+    cfg = DEFAULT_CONFIG
+    dtype = jnp.bfloat16 if os.environ.get("PALACE_BENCH_DTYPE") == "bf16" else jnp.float32
+    batch = int(os.environ.get("PALACE_BENCH_BATCH", "64"))
+    n_contigs = int(os.environ.get("PALACE_BENCH_CONTIGS", "256"))
+    contig_len = int(os.environ.get("PALACE_BENCH_LEN", "10000"))
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 4, size=(n_contigs, contig_len), dtype=np.int8)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [bytes(lut[row]).decode() for row in base]
+
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    @jax.jit
+    def score(params, feats):
+        x_p, x_f = model_inputs_from_features(feats.astype(dtype), cfg)
+        return forward(params, x_p, x_f, cfg)[:, 1]
+
+    # warmup / compile
+    warm = encode_batch(seqs[:batch])
+    score(params, warm).block_until_ready()
+
+    t0 = time.perf_counter()
+    done = 0
+    for i in range(0, n_contigs, batch):
+        chunk = seqs[i : i + batch]
+        if len(chunk) < batch:
+            chunk = chunk + seqs[: batch - len(chunk)]
+        feats = encode_batch(chunk)
+        score(params, feats).block_until_ready()
+        done += batch
+    dt = time.perf_counter() - t0
+    throughput = done / dt
+
+    baseline_file = Path(__file__).parent / "benchmarks" / "baseline_cpu.json"
+    vs_baseline = 0.0
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())
+        if baseline.get("value"):
+            vs_baseline = throughput / float(baseline["value"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "contigs_scored_per_sec_per_chip",
+                "value": round(throughput, 3),
+                "unit": "contigs/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Contig-scoring pipeline stage: FASTA → ``node_scores.out``.
+
+The reference stage (palace:462-470 → phage_scoring.py main) encodes
+contigs in a multiprocessing pool and runs torch inference in
+batch-64 chunks, writing ``contig\\tP(phage)`` lines
+(phage_scoring.py:205-218).
+
+Here encoding *and* inference run on device: sequences are packed
+into padded batches, encoded with the MXU one-hot matmul kernel, and
+scored with the pure-JAX GCN, optionally sharded batch-parallel over
+a mesh's ``data`` axis.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from palace_tpu.io.fasta import iter_fasta
+from palace_tpu.models.gcn import (
+    DEFAULT_CONFIG,
+    GCNConfig,
+    Params,
+    model_inputs_from_features,
+    phage_probabilities,
+)
+from palace_tpu.ops.encoder import encode_batch
+from palace_tpu.parallel.mesh import data_sharding
+from palace_tpu.utils.logging import get_logger
+from palace_tpu.utils.timers import GLOBAL_METRICS
+
+logger = get_logger("palace")
+
+
+def _batches(items: Iterator[Tuple[str, str]], size: int) -> Iterator[List[Tuple[str, str]]]:
+    chunk: List[Tuple[str, str]] = []
+    for item in items:
+        chunk.append(item)
+        if len(chunk) == size:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
+def score_sequences(
+    params: Params,
+    named_seqs: Sequence[Tuple[str, str]],
+    cfg: GCNConfig = DEFAULT_CONFIG,
+    batch_size: int = 64,
+    mesh=None,
+    encode_fn=None,
+) -> List[Tuple[str, float]]:
+    """Score (name, seq) pairs → (name, P(phage)).
+
+    Batches are padded to ``batch_size`` (static shapes for jit); when
+    a mesh is given the feature batch is sharded over its data axis.
+    """
+    if encode_fn is None:
+        encode_fn = encode_batch
+    if mesh is not None:
+        # batches shard over the data axis → round batch up to a multiple
+        ndata = mesh.shape.get("data", 1)
+        batch_size = ((batch_size + ndata - 1) // ndata) * ndata
+    results: List[Tuple[str, float]] = []
+    t0 = time.perf_counter()
+    n = 0
+    for chunk in _batches(iter(named_seqs), batch_size):
+        names = [name for name, _ in chunk]
+        seqs = [seq for _, seq in chunk]
+        pad = batch_size - len(seqs)
+        if pad:
+            seqs = seqs + ["A" * 4] * pad
+        feats = encode_fn(seqs)
+        if mesh is not None:
+            feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
+        probs = np.asarray(phage_probabilities(params, feats, cfg))
+        for name, p in zip(names, probs[: len(names)]):
+            results.append((name, float(p)))
+        n += len(names)
+    GLOBAL_METRICS.record("gcn.score", time.perf_counter() - t0, items=n, unit="contigs")
+    return results
+
+
+def write_scores(path: str | Path, scores: Sequence[Tuple[str, float]]) -> None:
+    """``contig\\tprob`` lines (phage_scoring.py:213-216 format: raw
+    float repr, no trailing blank line)."""
+    with open(path, "w") as fh:
+        for i, (name, p) in enumerate(scores):
+            if i:
+                fh.write("\n")
+            fh.write(f"{name}\t{np.float32(p)}")
+
+
+def read_scores(path: str | Path) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                out[parts[0]] = float(parts[1])
+    return out
+
+
+def score_fasta(
+    params: Params,
+    fasta_path: str | Path,
+    out_path: str | Path,
+    cfg: GCNConfig = DEFAULT_CONFIG,
+    batch_size: int = 64,
+    mesh=None,
+    encode_fn=None,
+) -> int:
+    """Full stage: assembly FASTA → node_scores.out.  Returns #contigs."""
+    scores = score_sequences(
+        params, list(iter_fasta(fasta_path)), cfg, batch_size, mesh, encode_fn
+    )
+    write_scores(out_path, scores)
+    logger.info("Scored %d contigs → %s", len(scores), out_path)
+    return len(scores)

@@ -1,0 +1,147 @@
+"""3-mer transition-matrix contig encoder, TPU-native.
+
+Reference semantics (share/palace/scripts/encode.pyx:8-55): uppercase
+the sequence, drop non-ACGT characters (shifting positions!), form
+K=3-mer base-4 codes, and for gaps d∈{0,1,2} count transitions
+``matrix[loc[i], loc[i+K+d]] += 1`` over ``i < len(loc)-K-d``; the
+three 64×64 matrices are flattened, concatenated and scaled by
+``100/len(seq)`` (original length, including dropped characters).
+
+The reference implements this as a Cython per-sequence scalar loop run
+under multiprocessing.  Here the counting is expressed as one-hot
+matmuls — ``counts_d = onehot(loc[:-(K+d)])ᵀ · onehot(loc[K+d:])`` —
+which XLA tiles onto the MXU, with padding masks so a whole batch of
+variable-length contigs is encoded in one fused kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 3
+NUM_CODES = 64  # 4**K
+GAPS = (0, 1, 2)
+FEATURE_DIM = len(GAPS) * NUM_CODES * NUM_CODES  # 12288
+
+# base → code lookup (A0 C1 G2 T3, others invalid), as in encode.pyx:9
+_BASE_LUT = np.full(256, 255, dtype=np.uint8)
+for ch, code in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _BASE_LUT[ord(ch)] = code
+    _BASE_LUT[ord(ch.lower())] = code
+
+
+def seq_to_kmer_locs(seq: str) -> Tuple[np.ndarray, int]:
+    """Host-side: sequence → array of 3-mer base-4 codes.
+
+    Non-ACGT characters are removed *before* k-merisation, exactly as
+    encode.pyx:8-12 (`filter(str.isdigit)`), so 3-mers can span a
+    dropped character.  Returns ``(locs, original_length)``.
+    """
+    raw = np.frombuffer(seq.encode(), dtype=np.uint8)
+    codes = _BASE_LUT[raw]
+    codes = codes[codes != 255].astype(np.int32)
+    if codes.size < K:
+        return np.zeros(0, dtype=np.int32), len(seq)
+    locs = codes[:-2] * 16 + codes[1:-1] * 4 + codes[2:]
+    return locs, len(seq)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _transition_counts(locs: jnp.ndarray, n_locs: jnp.ndarray, block: int = 0) -> jnp.ndarray:
+    """Batched gap-transition counts on device.
+
+    locs: (B, L) int32 3-mer codes, padded arbitrarily past ``n_locs``.
+    n_locs: (B,) int32 number of valid codes per row.
+    Returns (B, 3, 64, 64) float32 count matrices.
+    """
+    B, L = locs.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    # one-hot of every position once; per-gap masks select valid pairs
+    safe = jnp.where(pos < n_locs[:, None], locs, 0)
+    onehot = jax.nn.one_hot(safe, NUM_CODES, dtype=jnp.float32)  # (B, L, 64)
+
+    outs = []
+    for d in GAPS:
+        shift = K + d
+        # pair (i, i+shift) valid iff i < n_locs - shift   (encode.pyx:33)
+        limit = n_locs[:, None] - shift
+        mask = (pos < jnp.maximum(limit, 0)).astype(jnp.float32)  # (B, L)
+        a = onehot * mask[:, :, None]
+        b = jnp.roll(onehot, -shift, axis=1)
+        outs.append(jnp.einsum("blu,blv->buv", a, b, preferred_element_type=jnp.float32))
+    return jnp.stack(outs, axis=1)
+
+
+def transition_features(
+    locs_padded: np.ndarray, n_locs: np.ndarray, seq_lens: np.ndarray
+) -> jnp.ndarray:
+    """(B, L) padded codes → (B, 12288) features, scaled ×100/len
+    (encode.pyx:55)."""
+    counts = _transition_counts(jnp.asarray(locs_padded), jnp.asarray(n_locs))
+    feats = counts.reshape(counts.shape[0], FEATURE_DIM)
+    scale = 100.0 / jnp.maximum(jnp.asarray(seq_lens, dtype=jnp.float32), 1.0)
+    return feats * scale[:, None]
+
+
+def _pad_to_multiple(n: int, m: int = 512) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def encode_batch(seqs: Sequence[str]) -> jnp.ndarray:
+    """Encode a batch of sequences into (B, 12288) features on device."""
+    locs_list = []
+    lens = []
+    orig = []
+    for s in seqs:
+        locs, n = seq_to_kmer_locs(s)
+        locs_list.append(locs)
+        lens.append(locs.size)
+        orig.append(n)
+    L = _pad_to_multiple(max(lens) if lens else 1)
+    padded = np.zeros((len(seqs), L), dtype=np.int32)
+    for i, locs in enumerate(locs_list):
+        padded[i, : locs.size] = locs
+    return transition_features(
+        padded, np.asarray(lens, dtype=np.int32), np.asarray(orig, dtype=np.int32)
+    )
+
+
+def encode_sequences(seqs: Iterable[str], batch_size: int = 64) -> np.ndarray:
+    """Bucketless streaming encode; returns stacked (N, 12288) on host."""
+    out: List[np.ndarray] = []
+    chunk: List[str] = []
+    for s in seqs:
+        chunk.append(s)
+        if len(chunk) == batch_size:
+            out.append(np.asarray(encode_batch(chunk)))
+            chunk = []
+    if chunk:
+        out.append(np.asarray(encode_batch(chunk)))
+    if not out:
+        return np.zeros((0, FEATURE_DIM), dtype=np.float32)
+    return np.concatenate(out, axis=0)
+
+
+def reference_matrix_encoding(seq: str, k: int = K) -> np.ndarray:
+    """Pure-numpy oracle with the reference's exact per-sequence loop
+    (encode.pyx:41-55); used by tests to pin down parity."""
+    seq = seq.upper()
+    length = len(seq)
+    codes = _BASE_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    codes = codes[codes != 255].astype(np.int64)
+    if codes.size >= k:
+        locs = [int("".join(str(c) for c in codes[i : i + k]), 4) for i in range(codes.size - k + 1)]
+    else:
+        locs = []
+    feats = []
+    for d in GAPS:
+        m = np.zeros((NUM_CODES, NUM_CODES), dtype=np.float64)
+        for i in range(0, len(locs) - k - d):
+            m[locs[i], locs[i + k + d]] += 1
+        feats.append(m.flatten())
+    feature = np.hstack(feats)
+    return feature / (length * 1.0) * 100

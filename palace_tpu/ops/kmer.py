@@ -1,0 +1,146 @@
+"""Three-coder canonical k-mer hashing, TPU-native.
+
+Reference semantics (bin/extract_ref.cpp):
+
+* three binary base projections ("coders", :1010-1054):
+  coder0: A/T→1, C/G→0;  coder1: A/C→1, T/G→0;  coder2: A/G→1, T/C→0;
+  any other character invalidates the k-mer.
+* a per-position permutation of the three coders ("choose_coder",
+  :1082-1102): hash slot ``i`` at k-mer offset ``z`` uses coder
+  ``perm[z, i]``; each row of ``perm`` is a permutation of (0,1,2).
+  The reference draws it from ``time(0)`` at index build and persists
+  it in the index header (:680-682); we derive it from a fixed seed so
+  runs are reproducible (SURVEY.md §7 hard part b).
+* forward hash  h_i(j) = Σ_z bit_{perm[z,i]}(s[j+z]) · 2^(k-1-z)
+  (:965-999); reverse-complement hash samples the complemented
+  projections back-to-front (:973,:984); canonical = min(fwd, rc)
+  (:401-406, :989-994).
+
+The complement collapses algebraically: complementing a base leaves
+coder0 unchanged and flips coder1/coder2, so the rc bit-streams are
+``[b0, 1-b1, 1-b2]`` — no second base pass needed.
+
+Implemented as vectorised JAX over ``(B, L)`` base-code batches: the
+k·3 shifted adds unroll into fused VPU ops under jit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: the 6 permutations of (0,1,2) in the reference's order
+#: (extract_ref.cpp:1084)
+_PERMUTATIONS = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 2, 0], [1, 0, 2], [2, 0, 1], [2, 1, 0]], dtype=np.int32
+)
+
+# base codes: A=0 C=1 G=2 T=3, invalid=4
+BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for ch, code in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    BASE_LUT[ord(ch)] = code
+    BASE_LUT[ord(ch.lower())] = code
+
+#: coder bit per (coder, base-code) — extract_ref.cpp:1017-1051
+#: (column 4 = invalid placeholder, masked separately)
+CODER_BITS = np.array(
+    [
+        [1, 0, 0, 1, 0],  # coder0: A,T → 1
+        [1, 1, 0, 0, 0],  # coder1: A,C → 1
+        [1, 0, 1, 0, 0],  # coder2: A,G → 1
+    ],
+    dtype=np.uint32,
+)
+
+
+def make_choose_coder(k: int, seed: int = 1) -> np.ndarray:
+    """Deterministic per-position coder permutation, shape (k, 3).
+
+    Same structure as random_coder (extract_ref.cpp:1082-1102) but
+    seeded, so index build and search always agree."""
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, 6, size=k)
+    return _PERMUTATIONS[rows]
+
+
+def seq_to_codes(seq: str) -> np.ndarray:
+    return BASE_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmer_hashes(codes: jnp.ndarray, perm: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonical 3-coder hashes for every k-mer of a code batch.
+
+    codes: (B, L) uint8 base codes (0..3, 4=invalid)
+    perm:  (k, 3) int32 coder permutation
+    Returns ``(hashes (B, L-k+1, 3) uint32, valid (B, L-k+1) bool)``.
+    """
+    B, L = codes.shape
+    M = L - k + 1
+    if M <= 0:
+        return (
+            jnp.zeros((B, 0, 3), jnp.uint32),
+            jnp.zeros((B, 0), bool),
+        )
+    coder_bits = jnp.asarray(CODER_BITS)  # (3, 5)
+    codes32 = codes.astype(jnp.int32)
+    # per-coder bit streams b[c, :, :] = coder_bits[c][codes]
+    bits = coder_bits[:, codes32]  # (3, B, L) uint32
+    invalid = (codes >= 4).astype(jnp.int32)  # (B, L)
+
+    perm_host = np.asarray(perm)
+    fwd = jnp.zeros((3, B, M), jnp.uint32)
+    rc = jnp.zeros((3, B, M), jnp.uint32)
+    for z in range(k):
+        w = jnp.uint32(1) << jnp.uint32(k - 1 - z)
+        for i in range(3):
+            c = int(perm_host[z, i])
+            # forward: bit of coder c at position j+z
+            fwd = fwd.at[i].add(bits[c, :, z : z + M] * w)
+            # reverse complement: complemented coder c at position j+(k-1-z)
+            src = bits[c, :, k - 1 - z : k - 1 - z + M]
+            if c != 0:  # coders 1/2 flip under complement; coder0 is invariant
+                src = jnp.uint32(1) - src
+            rc = rc.at[i].add(src * w)
+
+    canonical = jnp.minimum(fwd, rc)  # (3, B, M)
+    # validity: no invalid base inside the window
+    inv_cum = jnp.cumsum(invalid, axis=1)
+    window_inv = inv_cum[:, k - 1 :] - jnp.pad(inv_cum, ((0, 0), (1, 0)))[:, : M]
+    valid = window_inv == 0
+    return jnp.moveaxis(canonical, 0, 2), valid
+
+
+def kmer_hashes_np(codes: np.ndarray, perm: np.ndarray, k: int):
+    """Host-side oracle mirroring the reference C++ scalar loop
+    (extract_ref.cpp:965-999); used by tests."""
+    comple_code = {0: 3, 1: 2, 2: 1, 3: 0, 4: 4}
+    L = codes.shape[-1]
+    M = L - k + 1
+    hashes = np.zeros((M, 3), dtype=np.uint64)
+    valid = np.zeros(M, dtype=bool)
+    base = [2 ** (k - 1 - z) for z in range(k)]
+    for j in range(M):
+        ok = True
+        for i in range(3):
+            h = 0
+            hc = 0
+            for z in range(k):
+                b = int(codes[j + z])
+                if b >= 4:
+                    ok = False
+                    break
+                c_fwd = int(perm[z, i])
+                h += int(CODER_BITS[c_fwd, b]) * base[z]
+                # reference: n = coder[choose_coder[(k-1-z)*3+i]][comple(s[j+z])]
+                # accumulated with weight base[k-1-z]
+                c_rc = int(perm[k - 1 - z, i])
+                hc += int(CODER_BITS[c_rc, comple_code[b]]) * base[k - 1 - z]
+            if not ok:
+                break
+            hashes[j, i] = min(h, hc)
+        valid[j] = ok
+    return hashes.astype(np.uint32), valid
