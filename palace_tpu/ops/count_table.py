@@ -31,7 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _cap_batch_multiplicity(hashes: jnp.ndarray, valid: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """Flatten, drop invalid (→0), and keep ≤cap copies of each hash."""
+    """Flatten, drop invalid (→0), and keep ≤cap copies of each hash.
+
+    ``valid`` may be per-hash or per-position (one axis short, e.g.
+    (B, M) against (B, M, 3) coder hashes) — it broadcasts up."""
+    if valid.ndim == hashes.ndim - 1:
+        valid = valid[..., None]
+    valid = jnp.broadcast_to(valid, hashes.shape)
     flat = jnp.where(valid.reshape(-1), hashes.reshape(-1), 0)
     s = jnp.sort(flat)
     # drop element i if the previous `cap` sorted entries are all equal to it
@@ -45,17 +51,15 @@ def _cap_batch_multiplicity(hashes: jnp.ndarray, valid: jnp.ndarray, cap: int) -
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _update_table(table: jnp.ndarray, hashes: jnp.ndarray, valid: jnp.ndarray,
                   cap: int) -> jnp.ndarray:
-    capped = _cap_batch_multiplicity(hashes, valid, cap)
-    idx = capped.astype(jnp.int32) if table.shape[0] <= 2**31 else capped
-    table = table.at[idx].add(jnp.uint8(1), mode="drop")
-    table = table.at[idx].min(jnp.uint8(cap), mode="drop")
+    capped = _cap_batch_multiplicity(hashes, valid, cap)  # uint32 indices
+    table = table.at[capped].add(jnp.uint8(1), mode="drop")
+    table = table.at[capped].min(jnp.uint8(cap), mode="drop")
     return table
 
 
 @jax.jit
 def _lookup_table(table: jnp.ndarray, hashes: jnp.ndarray) -> jnp.ndarray:
-    idx = hashes.astype(jnp.int32) if table.shape[0] <= 2**31 else hashes
-    return table[idx]
+    return table[hashes]
 
 
 @dataclass
@@ -100,40 +104,39 @@ class ShardedCountTable:
         axes = tuple(mesh.axis_names)
         sharding = NamedSharding(mesh, P(axes))
         n_dev = int(np.prod(mesh.devices.shape))
-        assert (1 << k) % n_dev == 0, "table size must divide across devices"
-        table = jax.device_put(jnp.zeros((1 << k,), jnp.uint8), sharding)
+        shard_size = -(-(1 << k) // n_dev)  # ceil: pad so any n_dev works
+        table = jax.device_put(jnp.zeros((shard_size * n_dev,), jnp.uint8), sharding)
         return cls(table=table, k=k, mesh=mesh, cap=cap)
 
     def _shard_fns(self):
         axes = tuple(self.mesh.axis_names)
         n_dev = int(np.prod(self.mesh.devices.shape))
-        shard_size = (1 << self.k) // n_dev
+        shard_size = -(-(1 << self.k) // n_dev)
         cap = self.cap
 
-        def update_shard(table_shard, hashes):
+        def _local_idx(hashes):
             # device's linear index over the flattened mesh axes
-            dev = jnp.zeros((), jnp.int32)
+            dev = jnp.zeros((), jnp.uint32)
             for ax in axes:
-                dev = dev * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-            lo = dev * shard_size
-            local = hashes.astype(jnp.int64) - lo
-            in_range = (local >= 0) & (local < shard_size)
-            # out-of-range → dump slot 0 of shard 0 only when lo==0;
-            # otherwise clamp into [0, shard) and mask the add to 0
-            idx = jnp.clip(local, 0, shard_size - 1).astype(jnp.int32)
+                dev = dev * jnp.uint32(jax.lax.axis_size(ax)) + jax.lax.axis_index(
+                    ax
+                ).astype(jnp.uint32)
+            lo = dev * jnp.uint32(shard_size)
+            # all arithmetic in uint32: hashes < 2^32, lo ≤ (n_dev-1)·shard
+            local = hashes - lo
+            in_range = (hashes >= lo) & (local < jnp.uint32(shard_size))
+            idx = jnp.where(in_range, local, jnp.uint32(0))
+            return idx, in_range
+
+        def update_shard(table_shard, hashes):
+            idx, in_range = _local_idx(hashes)
             inc = jnp.where(in_range, 1, 0).astype(jnp.uint8)
             table_shard = table_shard.at[idx].add(inc)
             table_shard = table_shard.at[idx].min(jnp.uint8(cap))
             return table_shard
 
         def lookup_shard(table_shard, hashes):
-            dev = jnp.zeros((), jnp.int32)
-            for ax in axes:
-                dev = dev * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-            lo = dev * shard_size
-            local = hashes.astype(jnp.int64) - lo
-            in_range = (local >= 0) & (local < shard_size)
-            idx = jnp.clip(local, 0, shard_size - 1).astype(jnp.int32)
+            idx, in_range = _local_idx(hashes)
             part = jnp.where(in_range, table_shard[idx], 0).astype(jnp.int32)
             return jax.lax.psum(part, axes)
 

@@ -70,48 +70,59 @@ def seq_to_codes(seq: str) -> np.ndarray:
     return BASE_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def kmer_hashes(codes: jnp.ndarray, perm: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@functools.lru_cache(maxsize=16)
+def _hash_fn(perm_key: Tuple[Tuple[int, int, int], ...], k: int):
+    perm_host = np.asarray(perm_key, dtype=np.int32)
+
+    @jax.jit
+    def fn(codes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, L = codes.shape
+        M = L - k + 1
+        coder_bits = jnp.asarray(CODER_BITS)  # (3, 5)
+        codes32 = codes.astype(jnp.int32)
+        # per-coder bit streams b[c, :, :] = coder_bits[c][codes]
+        bits = coder_bits[:, codes32]  # (3, B, L) uint32
+        invalid = (codes >= 4).astype(jnp.int32)  # (B, L)
+
+        fwd = [jnp.zeros((B, M), jnp.uint32) for _ in range(3)]
+        rc = [jnp.zeros((B, M), jnp.uint32) for _ in range(3)]
+        for z in range(k):
+            w = jnp.uint32(1) << jnp.uint32(k - 1 - z)
+            for i in range(3):
+                c = int(perm_host[z, i])
+                # forward: bit of coder c at position j+z
+                fwd[i] = fwd[i] + bits[c, :, z : z + M] * w
+                # reverse complement: complemented coder c at j+(k-1-z)
+                src = bits[c, :, k - 1 - z : k - 1 - z + M]
+                if c != 0:  # coders 1/2 flip under complement; coder0 doesn't
+                    src = jnp.uint32(1) - src
+                rc[i] = rc[i] + src * w
+
+        canonical = jnp.stack(
+            [jnp.minimum(f, r) for f, r in zip(fwd, rc)], axis=2
+        )  # (B, M, 3)
+        # validity: no invalid base inside the window
+        inv_cum = jnp.cumsum(invalid, axis=1)
+        window_inv = inv_cum[:, k - 1 :] - jnp.pad(inv_cum, ((0, 0), (1, 0)))[:, :M]
+        valid = window_inv == 0
+        return canonical, valid
+
+    return fn
+
+
+def kmer_hashes(codes, perm, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Canonical 3-coder hashes for every k-mer of a code batch.
 
     codes: (B, L) uint8 base codes (0..3, 4=invalid)
-    perm:  (k, 3) int32 coder permutation
+    perm:  (k, 3) coder permutation (static — loop structure depends on it)
     Returns ``(hashes (B, L-k+1, 3) uint32, valid (B, L-k+1) bool)``.
     """
+    codes = jnp.asarray(codes)
     B, L = codes.shape
-    M = L - k + 1
-    if M <= 0:
-        return (
-            jnp.zeros((B, 0, 3), jnp.uint32),
-            jnp.zeros((B, 0), bool),
-        )
-    coder_bits = jnp.asarray(CODER_BITS)  # (3, 5)
-    codes32 = codes.astype(jnp.int32)
-    # per-coder bit streams b[c, :, :] = coder_bits[c][codes]
-    bits = coder_bits[:, codes32]  # (3, B, L) uint32
-    invalid = (codes >= 4).astype(jnp.int32)  # (B, L)
-
-    perm_host = np.asarray(perm)
-    fwd = jnp.zeros((3, B, M), jnp.uint32)
-    rc = jnp.zeros((3, B, M), jnp.uint32)
-    for z in range(k):
-        w = jnp.uint32(1) << jnp.uint32(k - 1 - z)
-        for i in range(3):
-            c = int(perm_host[z, i])
-            # forward: bit of coder c at position j+z
-            fwd = fwd.at[i].add(bits[c, :, z : z + M] * w)
-            # reverse complement: complemented coder c at position j+(k-1-z)
-            src = bits[c, :, k - 1 - z : k - 1 - z + M]
-            if c != 0:  # coders 1/2 flip under complement; coder0 is invariant
-                src = jnp.uint32(1) - src
-            rc = rc.at[i].add(src * w)
-
-    canonical = jnp.minimum(fwd, rc)  # (3, B, M)
-    # validity: no invalid base inside the window
-    inv_cum = jnp.cumsum(invalid, axis=1)
-    window_inv = inv_cum[:, k - 1 :] - jnp.pad(inv_cum, ((0, 0), (1, 0)))[:, : M]
-    valid = window_inv == 0
-    return jnp.moveaxis(canonical, 0, 2), valid
+    if L - k + 1 <= 0:
+        return jnp.zeros((B, 0, 3), jnp.uint32), jnp.zeros((B, 0), bool)
+    perm_key = tuple(tuple(int(x) for x in row) for row in np.asarray(perm))
+    return _hash_fn(perm_key, k)(codes)
 
 
 def kmer_hashes_np(codes: np.ndarray, perm: np.ndarray, k: int):

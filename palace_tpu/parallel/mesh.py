@@ -66,9 +66,18 @@ _GCN_PARAM_SPECS = {
 
 
 def shard_params_for_gcn(params, mesh: Mesh):
-    """Apply tensor-parallel shardings to GCN params on ``mesh``."""
+    """Apply tensor-parallel shardings to GCN params on ``mesh``.
+
+    A dim that doesn't divide the mesh axis falls back to replication
+    (e.g. d1's 4075·64 rows under a 3-way model axis)."""
     out = {}
     for name, value in params.items():
         spec = _GCN_PARAM_SPECS.get(name, P())
+        fits = all(
+            axis is None or value.shape[dim] % mesh.shape[axis] == 0
+            for dim, axis in enumerate(spec)
+        )
+        if not fits:
+            spec = P()
         out[name] = jax.device_put(value, NamedSharding(mesh, spec))
     return out

@@ -1,0 +1,177 @@
+"""k-mer reference search — the ``eref`` engine, TPU-native.
+
+Pipeline stage 3.3 (palace:473-477): decide which phage reference
+genomes are present in the read set.
+
+Phase A (reference extract_ref.cpp read_fastq :905-1008): reads —
+down-sampled to ~2 Gbp — populate a saturating count table over the
+canonical 3-coder k-mer hashes.  Here reads stream through the device
+in fixed-shape batches and the table is a device array (optionally
+sharded across a mesh, see ops.count_table).
+
+Phase B (read_index :813-903 + slide_window :504-624): every reference
+position's 3 hashes are looked up; a 500 bp sliding window marks good
+regions; references covered >75 % are reported.
+
+Down-sampling note: the reference samples reads with C ``rand()``
+seeded 1 (:1238-1242, :374).  When the input is ≤ 2 Gbp the computed
+ratio is ≥100 and *every* read is used — the only regime where the
+reference is deterministic.  We keep that, and for larger inputs use a
+deterministic per-read hash (documented divergence; same expected
+coverage).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from palace_tpu.config import KmerParams
+from palace_tpu.io.fasta import iter_fastq
+from palace_tpu.ops.count_table import CountTable, ShardedCountTable
+from palace_tpu.ops.kmer import BASE_LUT, kmer_hashes
+from palace_tpu.ops.window import RefHit, scan_reference
+from palace_tpu.search.index import PhageIndex
+from palace_tpu.utils.logging import get_logger
+from palace_tpu.utils.timers import GLOBAL_METRICS
+
+logger = get_logger("palace")
+
+READ_BATCH = 4096  # reads per device batch
+_MIX = np.uint64(2654435761)
+
+
+def compute_downsample_ratio(fastq_path: str | Path, target_bases: int) -> int:
+    """Reference cal_sam_ratio (extract_ref.cpp:1124-1148): percentage
+    = 100·target / (2 × total bases of fq1)."""
+    total = 0
+    for _, seq, _ in iter_fastq(fastq_path):
+        total += len(seq)
+    total *= 2  # paired
+    if total == 0:
+        return 100
+    return int(100 * target_bases // total)
+
+
+def _keep_read(read_idx: int, ratio: int) -> bool:
+    if ratio >= 100:
+        return True
+    return int((np.uint64(read_idx) * _MIX) % np.uint64(100)) < ratio
+
+
+def _read_batches(
+    fastq_path: str | Path, batch: int, ratio: int, pad_len: int = 0
+) -> Iterator[np.ndarray]:
+    """Yield (B, L) uint8 code matrices (pad code 4 = invalid)."""
+    buf: List[np.ndarray] = []
+    maxlen = pad_len
+    idx = 0
+    for _, seq, _ in iter_fastq(fastq_path):
+        if _keep_read(idx, ratio):
+            codes = BASE_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+            buf.append(codes)
+            maxlen = max(maxlen, codes.shape[0])
+        idx += 1
+        if len(buf) == batch:
+            yield _pack(buf, maxlen)
+            buf = []
+            maxlen = pad_len
+    if buf:
+        yield _pack(buf, maxlen)
+
+
+def _pack(reads: List[np.ndarray], maxlen: int) -> np.ndarray:
+    out = np.full((len(reads), maxlen), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        out[i, : r.shape[0]] = r
+    return out
+
+
+def count_reads_into_table(
+    fastq_files: Sequence[str | Path],
+    index: PhageIndex,
+    params: KmerParams,
+    table: CountTable | ShardedCountTable | None = None,
+    mesh=None,
+) -> CountTable | ShardedCountTable:
+    """Phase A: populate the count table from paired FASTQ files."""
+    if table is None:
+        if mesh is not None:
+            table = ShardedCountTable.create(mesh, params.k, params.least_depth)
+        else:
+            table = CountTable.create(params.k, params.least_depth)
+    ratio = compute_downsample_ratio(fastq_files[0], params.down_sampling_size)
+    logger.info("Down-sampling ratio is %d%%.", min(ratio, 100))
+    perm = jnp.asarray(index.perm)
+    t0 = time.perf_counter()
+    n_reads = 0
+    for fq in fastq_files:
+        for codes in _read_batches(fq, READ_BATCH, ratio):
+            n_reads += codes.shape[0]
+            if codes.shape[1] < params.k:
+                continue
+            hashes, valid = kmer_hashes(jnp.asarray(codes), perm, params.k)
+            table = table.add_kmers(hashes, valid)
+    GLOBAL_METRICS.record(
+        "eref.count_reads", time.perf_counter() - t0, items=n_reads, unit="reads"
+    )
+    return table
+
+
+def search_references(
+    table: CountTable | ShardedCountTable,
+    index: PhageIndex,
+    params: KmerParams,
+) -> List[RefHit]:
+    """Phase B: scan every reference against the table."""
+    hits: List[RefHit] = []
+    t0 = time.perf_counter()
+    for r in range(index.n_refs):
+        ref_hashes = np.asarray(index.ref_hashes(r))
+        if ref_hashes.shape[0] == 0:
+            continue
+        counts = np.asarray(table.lookup(jnp.asarray(ref_hashes)))
+        hit = scan_reference(
+            counts,
+            ref_hashes,
+            ref_index=r + 1,  # 1-based FASTA record number
+            ref_len=int(index.lengths[r]),
+            window=params.window,
+            hit_ratio=params.hit_ratio,
+            perfect_hit_ratio=params.perfect_hit_ratio,
+            min_cover_ratio=params.min_cover_ratio,
+            least_depth=params.least_depth,
+        )
+        if hit is not None:
+            hits.append(hit)
+    GLOBAL_METRICS.record(
+        "eref.scan_refs", time.perf_counter() - t0, items=index.n_refs, unit="refs"
+    )
+    return hits
+
+
+def write_ref_names(path: str | Path, hits: Sequence[RefHit]) -> None:
+    """The ``{prefix}_ref_names.txt`` artifact (palace:475-477 captures
+    eref stdout)."""
+    with open(path, "w") as fh:
+        for hit in hits:
+            fh.write(hit.line() + "\n")
+
+
+def run_search(
+    fastq1: str | Path,
+    fastq2: str | Path,
+    index: PhageIndex,
+    params: KmerParams,
+    out_ref_names: str | Path,
+    mesh=None,
+) -> List[RefHit]:
+    """Full eref stage: count + scan + write artifact."""
+    table = count_reads_into_table([fastq1, fastq2], index, params, mesh=mesh)
+    hits = search_references(table, index, params)
+    write_ref_names(out_ref_names, hits)
+    logger.info("eref: %d references reported", len(hits))
+    return hits

@@ -1,0 +1,279 @@
+"""k-mer search engine tests: hashing oracle parity, count-table
+saturation semantics, sharded-table equivalence, sliding-window scan,
+and a miniature end-to-end reference search."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palace_tpu.config import KmerParams
+from palace_tpu.io.fasta import reverse_complement, write_fasta
+from palace_tpu.ops.count_table import CountTable, ShardedCountTable
+from palace_tpu.ops.kmer import (
+    kmer_hashes,
+    kmer_hashes_np,
+    make_choose_coder,
+    seq_to_codes,
+)
+from palace_tpu.ops.window import (
+    intervals_from_good,
+    scan_reference,
+    window_thresholds,
+)
+from palace_tpu.parallel.mesh import make_mesh
+from palace_tpu.search.eref import run_search
+from palace_tpu.search.index import build_index, load_index, load_or_build_index
+from palace_tpu.search.refs import extract_reference_sequences, parse_ref_names_file
+
+RNG = np.random.default_rng(42)
+K = 8
+
+
+def _rand_seq(n, junk=False):
+    bases = "ACGT" if not junk else "ACGTN"
+    return "".join(RNG.choice(list(bases), size=n))
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+def test_kmer_hashes_match_scalar_oracle():
+    perm = make_choose_coder(K, seed=1)
+    for seq in [_rand_seq(40), _rand_seq(64, junk=True), "ACGTACGTACGT"]:
+        codes = seq_to_codes(seq)
+        got_h, got_v = kmer_hashes(jnp.asarray(codes[None, :]), jnp.asarray(perm), K)
+        want_h, want_v = kmer_hashes_np(codes, perm, K)
+        np.testing.assert_array_equal(np.asarray(got_v[0]), want_v)
+        np.testing.assert_array_equal(np.asarray(got_h[0])[want_v], want_h[want_v])
+
+
+def test_canonical_hash_revcomp_symmetry():
+    """The canonical hash of a k-mer equals that of its reverse
+    complement (extract_ref.cpp:401-406 min(fwd, rc))."""
+    perm = make_choose_coder(K, seed=3)
+    for _ in range(20):
+        s = _rand_seq(K)
+        rc = reverse_complement(s)
+        h1, v1 = kmer_hashes(jnp.asarray(seq_to_codes(s)[None, :]), jnp.asarray(perm), K)
+        h2, v2 = kmer_hashes(jnp.asarray(seq_to_codes(rc)[None, :]), jnp.asarray(perm), K)
+        assert bool(v1[0, 0]) and bool(v2[0, 0])
+        np.testing.assert_array_equal(np.asarray(h1[0, 0]), np.asarray(h2[0, 0]))
+
+
+def test_invalid_bases_invalidate_windows():
+    perm = make_choose_coder(K, seed=1)
+    seq = "ACGTACGTNACGTACGT"
+    codes = seq_to_codes(seq)
+    _, valid = kmer_hashes(jnp.asarray(codes[None, :]), jnp.asarray(perm), K)
+    valid = np.asarray(valid[0])
+    n_pos = seq.index("N")
+    for j in range(len(seq) - K + 1):
+        assert valid[j] == (not (j <= n_pos <= j + K - 1))
+
+
+# ---------------------------------------------------------------------------
+# count table
+# ---------------------------------------------------------------------------
+
+def test_count_table_saturation():
+    table = CountTable.create(k=12, cap=3)
+    h = jnp.asarray(np.array([[5, 5, 9], [5, 7, 9]], dtype=np.uint32))
+    table = table.add_kmers(h)
+    counts = np.asarray(table.lookup(jnp.asarray(np.array([5, 7, 9, 11, 0], np.uint32))))
+    assert counts.tolist() == [3, 1, 2, 0, 0]  # 5 seen 3x, capped exactly
+    # second batch: 5 stays at 3; 7 reaches 3 and saturates
+    table = table.add_kmers(jnp.asarray(np.array([[5, 7, 7, 7, 7]], np.uint32)))
+    counts = np.asarray(table.lookup(jnp.asarray(np.array([5, 7], np.uint32))))
+    assert counts.tolist() == [3, 3]
+
+
+def test_count_table_hot_kmer_no_wrap():
+    """A k-mer occurring 600× in one batch must stay saturated at 3
+    (the uint8-wrap hazard the batch-cap step exists to prevent)."""
+    table = CountTable.create(k=12, cap=3)
+    hot = np.full((600,), 123, dtype=np.uint32)
+    table = table.add_kmers(jnp.asarray(hot[None, :]))
+    assert int(table.lookup(jnp.asarray(np.array([123], np.uint32)))[0]) == 3
+    table = table.add_kmers(jnp.asarray(hot[None, :]))
+    assert int(table.lookup(jnp.asarray(np.array([123], np.uint32)))[0]) == 3
+
+
+def test_slot_zero_always_misses():
+    table = CountTable.create(k=12, cap=3)
+    table = table.add_kmers(jnp.asarray(np.zeros((1, 50), np.uint32)))
+    assert int(table.lookup(jnp.asarray(np.array([0], np.uint32)))[0]) == 0
+
+
+def test_sharded_table_matches_single(eight_devices):
+    mesh = make_mesh(8, model_parallel=2)
+    k = 12
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 1 << k, (64,), dtype=np.uint32) for _ in range(3)]
+
+    single = CountTable.create(k)
+    sharded = ShardedCountTable.create(mesh, k)
+    for b in batches:
+        single = single.add_kmers(jnp.asarray(b[None, :]))
+        sharded = sharded.add_kmers(jnp.asarray(b[None, :]))
+    probe = np.unique(np.concatenate(batches)).astype(np.uint32)
+    got_single = np.asarray(single.lookup(jnp.asarray(probe)))
+    got_sharded = np.asarray(sharded.lookup(jnp.asarray(probe)))
+    np.testing.assert_array_equal(got_single, got_sharded)
+
+
+# ---------------------------------------------------------------------------
+# sliding window
+# ---------------------------------------------------------------------------
+
+def _window_oracle(single, trio, window, one_min, three_min):
+    """Literal reference loop (extract_ref.cpp:527-609)."""
+    L = len(single)
+    good = np.zeros(L, bool)
+    one = three = 0
+    for j in range(L):
+        if j < window:
+            one += single[j]
+            three += trio[j]
+        else:
+            one = one - single[j - window] + single[j]
+            three = three - trio[j - window] + trio[j]
+        good[j] = one >= one_min and three >= three_min
+    return good
+
+
+def _intervals_oracle(good, ref_len, window):
+    intervals = []
+    conti = False
+    start = end = 0
+    gw = False
+    for j in range(ref_len):
+        gw = good[j]
+        if not conti and gw:
+            start = max(j - 2 * window, 1)
+            conti = True
+        if conti and not gw:
+            end = min(j + 2 * window, ref_len)
+            if intervals and start - intervals[-1][1] < window:
+                intervals[-1][1] = end
+            else:
+                intervals.append([start, end])
+            conti = False
+    if conti and gw:
+        end = ref_len
+        if intervals and start - intervals[-1][1] < window:
+            intervals[-1][1] = end
+        else:
+            intervals.append([start, end])
+    return [tuple(iv) for iv in intervals]
+
+
+def test_window_thresholds_float32_truncation():
+    # C++ `int m = window * (float)ratio`: the float32 product of
+    # 0.9f·500 rounds to exactly 450.0 → thresholds 450/425
+    one_min, three_min = window_thresholds(500, 0.9, 0.85)
+    assert one_min == 450
+    assert three_min == 425
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interval_state_machine_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    window = 50
+    L = 2000
+    # blocky good/bad pattern
+    good = np.zeros(L, bool)
+    pos = 0
+    while pos < L:
+        run = int(rng.integers(20, 400))
+        if rng.random() < 0.5:
+            good[pos : pos + run] = True
+        pos += run
+    got = intervals_from_good(good, L, window)
+    want = _intervals_oracle(good, L, window)
+    assert got == want
+
+
+def test_scan_reference_full_oracle():
+    rng = np.random.default_rng(7)
+    window = 50
+    L = 3000
+    counts = rng.integers(0, 4, (L, 3)).astype(np.uint8)
+    hashes = rng.integers(0, 100, (L, 3)).astype(np.uint32)
+    hit = (counts == 3) & (hashes != 0)
+    hn = hit.sum(1)
+    single = (hn > 0).astype(int)
+    trio = (hn == 3).astype(int)
+    one_min, three_min = window_thresholds(window, 0.5, 0.25)
+    good = _window_oracle(single, trio, window, one_min, three_min)
+    want_iv = _intervals_oracle(good, L, window)
+    want_el = sum(e - s for s, e in want_iv)
+
+    got = scan_reference(
+        counts, hashes, ref_index=1, ref_len=L, window=window,
+        hit_ratio=0.5, perfect_hit_ratio=0.25, min_cover_ratio=0.0,
+    )
+    if want_el > 0:
+        assert got is not None
+        assert got.covered == want_el
+        assert got.frag_count == len(want_iv)
+    else:
+        assert got is None
+
+
+# ---------------------------------------------------------------------------
+# end-to-end mini search
+# ---------------------------------------------------------------------------
+
+def _make_reads(seq, read_len, step):
+    reads = []
+    for i in range(0, len(seq) - read_len + 1, step):
+        reads.append(seq[i : i + read_len])
+    return reads
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+
+def test_end_to_end_mini_search(tmp_path):
+    """Reads tiled from ref B must report only ref B covered >75%."""
+    k = 16
+    params = KmerParams(k=k, window=100, hit_ratio=0.9, perfect_hit_ratio=0.85)
+    rng = np.random.default_rng(5)
+    refs = {
+        "phageA": "".join(rng.choice(list("ACGT"), size=3000)),
+        "phageB": "".join(rng.choice(list("ACGT"), size=3000)),
+        "phageC": "".join(rng.choice(list("ACGT"), size=3000)),
+    }
+    db = tmp_path / "phagedb.fasta"
+    write_fasta(db, list(refs.items()))
+
+    index = build_index(db, k=k, coder_seed=1)
+    assert load_index(db, k=k) is not None
+
+    reads = _make_reads(refs["phageB"], 100, 10)
+    # every 3-mer needs depth ≥3: tile three times with offsets
+    reads = reads + _make_reads(refs["phageB"][3:], 100, 10) + _make_reads(refs["phageB"][7:], 100, 10)
+    fq1 = tmp_path / "r1.fastq"
+    fq2 = tmp_path / "r2.fastq"
+    _write_fastq(fq1, reads)
+    _write_fastq(fq2, [reverse_complement(r) for r in reads])
+
+    out = tmp_path / "ref_names.txt"
+    hits = run_search(fq1, fq2, index, params, out)
+    assert [h.ref_index for h in hits] == [2]
+    assert hits[0].ratio > 0.75
+
+    parsed = parse_ref_names_file(out)
+    assert list(parsed.keys()) == [2]
+
+    # get_ref_by_index equivalent
+    phage_refs = tmp_path / "phage_refs.fasta"
+    pct = tmp_path / "pct.txt"
+    written = extract_reference_sequences(db, out, phage_refs, pct)
+    assert [name for name, _ in written] == ["phageB"]
+    assert "phageB" in open(phage_refs).read()
