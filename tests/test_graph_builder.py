@@ -1,0 +1,233 @@
+"""Junction-graph builder tests: BAM IO roundtrip, evidence semantics
+against hand-computed expectations, depth computation, and native C++
+vs pure-Python output equality on synthetic BAMs."""
+import numpy as np
+import pytest
+
+from palace_tpu.config import GraphParams
+from palace_tpu.graph.builder import (
+    END,
+    MIDDLE,
+    START,
+    build_graph_from_bam,
+    can_stitch,
+    contig_region,
+    parse_cigar_read_interval,
+)
+from palace_tpu.graph.depth import DepthStore, compute_depth
+from palace_tpu.graph.native import ensure_native_binary
+from palace_tpu.io.bam import (
+    FLAG_MREVERSE,
+    FLAG_PAIRED,
+    FLAG_REVERSE,
+    BamFile,
+    BamRecord,
+    read_bam,
+    write_bam,
+)
+from palace_tpu.io.graph_io import write_graph_file
+
+REFS = [("ctgA", 1000), ("ctgB", 800), ("ctgC", 2000)]
+
+
+def _rec(name, flag, tid, pos1, cigar, mapq=60, mtid=-1, mpos1=0, tags=None, seq_len=None):
+    """pos1/mpos1 are 1-based for readability; BamRecord stores 0-based."""
+    if seq_len is None:
+        seq_len = sum(n for n, op in cigar if op in "MIS=X")
+    return BamRecord(
+        name=name, flag=flag, tid=tid, pos=pos1 - 1, mapq=mapq, cigar=cigar,
+        mtid=mtid, mpos=mpos1 - 1, tlen=0, seq_len=seq_len,
+        tags=dict(tags or {}),
+    )
+
+
+def test_bam_roundtrip(tmp_path):
+    records = [
+        _rec("r1", 0, 0, 901, [(50, "M"), (50, "S")], tags={"NM": 1, "SA": "ctgB,1,+,50S50M,60,0;"}),
+        _rec("r2", FLAG_PAIRED | FLAG_MREVERSE, 2, 1901, [(100, "M")], mtid=0, mpos1=6),
+    ]
+    bam = BamFile(references=list(REFS), records=records)
+    path = tmp_path / "x.bam"
+    write_bam(path, bam)
+    got = read_bam(path)
+    assert got.references == REFS
+    assert len(got.records) == 2
+    r1 = got.records[0]
+    assert r1.name == "r1" and r1.pos == 900 and r1.cigar == [(50, "M"), (50, "S")]
+    assert r1.tags["NM"] == 1 and r1.tags["SA"] == "ctgB,1,+,50S50M,60,0;"
+    r2 = got.records[1]
+    assert r2.mtid == 0 and r2.mpos == 5 and r2.flag == FLAG_PAIRED | FLAG_MREVERSE
+
+
+def test_contig_region():
+    # generate_graph.cpp:56-62
+    assert contig_region(1, 1000, 300) == START
+    assert contig_region(300, 1000, 300) == START
+    assert contig_region(301, 1000, 300) == MIDDLE
+    assert contig_region(700, 1000, 300) == MIDDLE
+    assert contig_region(701, 1000, 300) == END
+    # short contig: no middle
+    assert contig_region(200, 400, 300) == START
+    assert contig_region(201, 400, 300) == END
+
+
+def test_read_interval_and_stitch():
+    iv_fwd = parse_cigar_read_interval([(50, "M"), (50, "S")], False, 100)
+    assert (iv_fwd.start, iv_fwd.end) == (1, 50)
+    iv_sa = parse_cigar_read_interval([(50, "S"), (50, "M")], False, 100)
+    assert (iv_sa.start, iv_sa.end) == (51, 100)
+    assert can_stitch(iv_fwd, iv_sa, 150, 150) is True
+    assert can_stitch(iv_sa, iv_fwd, 150, 150) is False
+    iv_rev = parse_cigar_read_interval([(50, "M"), (50, "S")], True, 100)
+    assert (iv_rev.start, iv_rev.end) == (51, 100)
+
+
+def _make_synthetic_bam():
+    records = []
+    # 6 split reads: ctgA end → ctgB start (expected junction A + B +)
+    for i in range(6):
+        records.append(
+            _rec(
+                f"s{i}", 0, 0, 901, [(50, "M"), (50, "S")],
+                tags={"NM": 0, "SA": "ctgB,1,+,50S50M,60,0;"},
+            )
+        )
+    # one split read failing the MIDDLE filter
+    records.append(
+        _rec("mid", 0, 0, 500, [(50, "M"), (50, "S")],
+             tags={"NM": 0, "SA": "ctgB,1,+,50S50M,60,0;"})
+    )
+    # one split read failing NM
+    records.append(
+        _rec("badnm", 0, 0, 901, [(50, "M"), (50, "S")],
+             tags={"NM": 9, "SA": "ctgB,1,+,50S50M,60,0;"})
+    )
+    # 6 discordant pairs: ctgC end (fwd) — ctgA start (rev)
+    for i in range(6):
+        records.append(
+            _rec(
+                f"p{i}", FLAG_PAIRED | FLAG_MREVERSE, 2, 1901, [(100, "M")],
+                mtid=0, mpos1=6, tags={"NM": 0},
+            )
+        )
+        records.append(
+            _rec(
+                f"p{i}", FLAG_PAIRED | FLAG_REVERSE, 0, 6, [(100, "M")],
+                mtid=2, mpos1=1901, tags={"NM": 0},
+            )
+        )
+    # plain coverage reads on ctgB middle
+    for i in range(4):
+        records.append(_rec(f"c{i}", 0, 1, 301 + 10 * i, [(100, "M")], tags={"NM": 0}))
+    return BamFile(references=list(REFS), records=records)
+
+
+def _write_fastg_fai(path):
+    # expected link: ctgA → ctgB (forward/forward)
+    with open(path, "w") as fh:
+        fh.write("ctgA:ctgB;\t1000\t0\t80\t81\n")
+        fh.write("ctgB;\t800\t0\t80\t81\n")
+        fh.write("ctgC;\t2000\t0\t80\t81\n")
+
+
+def test_builder_semantics(tmp_path):
+    bam = _make_synthetic_bam()
+    fai = tmp_path / "g.fastg.fai"
+    _write_fastg_fai(fai)
+    graph = build_graph_from_bam(bam, fai, avg_depth=1.0)
+
+    # junctions: A+B+ from split reads (in fastg → support counts) and
+    # the pair junction (C,+,A,+) canonicalised to (A,-,C,-)
+    juncs = {(j.left, j.left_orient, j.right, j.right_orient): j for j in graph.juncs}
+    assert ("ctgA", "+", "ctgB", "+") in juncs
+    ab = juncs[("ctgA", "+", "ctgB", "+")]
+    assert ab.support == 6  # 6 split reads (in fastg ⇒ counted in support)
+    assert ab.span_no_fastg == 0
+
+    assert ("ctgA", "-", "ctgC", "-") in juncs
+    ac = juncs[("ctgA", "-", "ctgC", "-")]
+    # pair evidence not in fastg ⇒ spanNoFastg, support column stays 0+0+0
+    assert ac.support == 0
+    assert ac.span_no_fastg == 6
+
+    # depth: refConsumed / length (mapq/NM-failing reads still count;
+    # the *second* encounter of an accepted pair credits its refLen to
+    # the MATE's contig on top of its own — reference :890-893 quirk)
+    segs = graph.segs
+    # ctgA: 6*50(split, M ref-consumes 50) + 50(mid) + 50(badnm)
+    #       + 6*100(pair mates on A, top-of-loop)
+    assert segs["ctgA"].depth == pytest.approx((6 * 50 + 50 + 50 + 600) / 1000)
+    # ctgB: 4 coverage reads x100
+    assert segs["ctgB"].depth == pytest.approx(400 / 800)
+    # ctgC: 6 own pair reads ×100 + 6×100 mate-credit from the A-mates'
+    # second encounters
+    assert segs["ctgC"].depth == pytest.approx((600 + 600) / 2000)
+
+
+def test_min_count_filter(tmp_path):
+    """Junctions below MIN_COUNT=5 are dropped (generate_graph.cpp:1059)."""
+    records = []
+    for i in range(4):
+        records.append(
+            _rec(f"s{i}", 0, 0, 901, [(50, "M"), (50, "S")],
+                 tags={"NM": 0, "SA": "ctgB,1,+,50S50M,60,0;"})
+        )
+    bam = BamFile(references=list(REFS), records=records)
+    fai = tmp_path / "g.fastg.fai"
+    _write_fastg_fai(fai)
+    graph = build_graph_from_bam(bam, fai, avg_depth=1.0)
+    assert graph.juncs == []
+
+
+def test_depth_store(tmp_path):
+    bam = BamFile(
+        references=[("ctgA", 100)],
+        records=[
+            _rec("a", 0, 0, 1, [(50, "M")]),
+            _rec("b", 0, 0, 26, [(50, "M")]),
+            _rec("dup", 0x400, 0, 1, [(50, "M")]),  # FLAG_DUP skipped
+        ],
+    )
+    store = compute_depth(bam)
+    arr = store.arrays["ctgA"]
+    assert arr[0] == 1 and arr[30] == 2 and arr[60] == 1 and arr[80] == 0
+    avg, n = store.average_depth("ctgA")
+    assert n == 75
+    assert avg == pytest.approx((25 * 1 + 25 * 2 + 25 * 1) / 75)
+
+    p = tmp_path / "d.depth"
+    store.write_text(p)
+    back = DepthStore.read_text(p)
+    np.testing.assert_array_equal(back.arrays["ctgA"], arr[: np.nonzero(arr)[0][-1] + 1])
+    assert store.global_average() == back.global_average()
+
+
+def test_native_matches_python(tmp_path):
+    binary = ensure_native_binary()
+    if binary is None:
+        pytest.skip("no C++ toolchain")
+    import subprocess
+
+    bam = _make_synthetic_bam()
+    bam_path = tmp_path / "s.bam"
+    write_bam(bam_path, bam)
+    fai = tmp_path / "g.fastg.fai"
+    _write_fastg_fai(fai)
+
+    py_graph = build_graph_from_bam(bam, fai, avg_depth=2.0)
+    py_out = tmp_path / "py_graph.txt"
+    write_graph_file(py_out, py_graph)
+
+    cc_out = tmp_path / "cc_graph.txt"
+    subprocess.run(
+        [str(binary), "graph", str(bam_path), str(fai), str(cc_out), "2.0"],
+        check=True,
+    )
+    assert open(cc_out).read() == open(py_out).read()
+
+    # depth parity
+    py_depth = tmp_path / "py.depth"
+    compute_depth(bam).write_text(py_depth)
+    cc_depth = tmp_path / "cc.depth"
+    subprocess.run([str(binary), "depth", str(bam_path), str(cc_depth)], check=True)
+    assert open(cc_depth).read() == open(py_depth).read()
