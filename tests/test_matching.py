@@ -1,0 +1,173 @@
+"""Matching solver tests: decomposition structure, copy-number budget
+properties, output file contract (linear lines; cycle marker pairs)."""
+from collections import Counter
+
+import pytest
+
+from palace_tpu.io.graph_io import Graph, JuncRecord, SegRecord, parse_graph_file
+from palace_tpu.io.paths_io import iter_path_lines, remove_duplicate_pairs
+from palace_tpu.matching.solver import MatchingOptions, main, solve_matching
+
+def _seg(name, copy=1, depth=10.0, **kw):
+    return SegRecord(name=name, depth=depth, copy_number=copy, **kw)
+
+
+def _junc(l, lo, r, ro, support=10):
+    return JuncRecord(left=l, left_orient=lo, right=r, right_orient=ro, support=support)
+
+
+def _graph(segs, juncs):
+    g = Graph()
+    for s in segs:
+        g.add_seg(s)
+    for j in juncs:
+        g.add_junc(j)
+    return g
+
+
+def _visit_counts(result):
+    c = Counter()
+    for w in result.linear + result.cycles:
+        for seg, _ in w.nodes:
+            c[seg] += 1
+    return c
+
+
+def test_linear_chain():
+    g = _graph(
+        [_seg("A"), _seg("B"), _seg("C")],
+        [_junc("A", "+", "B", "+"), _junc("B", "+", "C", "+")],
+    )
+    res = solve_matching(g)
+    assert len(res.cycles) == 0
+    walks = [w.tokens() for w in res.linear]
+    assert ["A+", "B+", "C+"] in walks
+    assert _visit_counts(res)["A"] == 1
+
+
+def test_cycle_detection():
+    g = _graph(
+        [_seg("A"), _seg("B"), _seg("C")],
+        [_junc("A", "+", "B", "+"), _junc("B", "+", "C", "+"), _junc("C", "+", "A", "+")],
+    )
+    res = solve_matching(g)
+    assert len(res.cycles) == 1
+    assert res.cycles[0].closed
+    assert len(res.cycles[0].nodes) == 3
+    assert not res.linear
+
+
+def test_self_loop():
+    g = _graph([_seg("A")], [_junc("A", "+", "A", "+")])
+    res = solve_matching(g)
+    assert len(res.cycles) == 1
+    assert res.cycles[0].tokens() == ["A+"]
+
+
+def test_copy_budget_respected():
+    """Segment R with copy 2 may appear twice; A/B once each."""
+    g = _graph(
+        [_seg("A"), _seg("R", copy=2), _seg("B")],
+        [
+            _junc("A", "+", "R", "+", support=20),
+            _junc("R", "+", "R", "+", support=5),
+            _junc("R", "+", "B", "+", support=20),
+        ],
+    )
+    res = solve_matching(g)
+    counts = _visit_counts(res)
+    assert counts["R"] <= 2
+    assert counts["A"] <= 1 and counts["B"] <= 1
+
+
+def test_end_slots_not_oversubscribed():
+    """A's tail can feed only one junction when copy==1."""
+    g = _graph(
+        [_seg("A"), _seg("B"), _seg("C")],
+        [_junc("A", "+", "B", "+", support=20), _junc("A", "+", "C", "+", support=10)],
+    )
+    res = solve_matching(g)
+    # the higher-support junction wins A's tail; C is a singleton
+    joined = [w.tokens() for w in res.linear]
+    assert ["A+", "B+"] in joined
+    assert ["C+"] in joined
+
+
+def test_inverted_self_repeat_needs_two_copies():
+    g1 = _graph([_seg("A", copy=1)], [_junc("A", "+", "A", "-")])
+    res1 = solve_matching(g1)
+    # copy 1 → cannot place the inverted join; A emitted as singleton
+    assert [w.tokens() for w in res1.linear] == [["A+"]]
+
+    g2 = _graph([_seg("A", copy=2)], [_junc("A", "+", "A", "-")])
+    res2 = solve_matching(g2)
+    all_walks = [w.tokens() for w in res2.linear + res2.cycles]
+    assert ["A+", "A-"] in all_walks
+
+
+def test_ref_order_bonus_steers_path():
+    """In subgraph mode, consecutive ref-order segments join even when
+    a higher-support junction competes."""
+    segs = [
+        _seg("A", gene="0", score="0", is_blast="1", ref_order="1"),
+        _seg("B", gene="0", score="0", is_blast="1", ref_order="2"),
+        _seg("X", gene="0", score="0", is_blast="1", ref_order="-1"),
+    ]
+    juncs = [
+        _junc("A", "+", "B", "+", support=3),
+        _junc("A", "+", "X", "+", support=8),
+    ]
+    res_plain = solve_matching(_graph(segs, juncs), MatchingOptions())
+    assert ["A+", "X+"] in [w.tokens() for w in res_plain.linear]
+
+    res_sub = solve_matching(_graph(segs, juncs), MatchingOptions(subgraph=True))
+    assert ["A+", "B+"] in [w.tokens() for w in res_sub.linear]
+
+
+def test_hints_bonus(tmp_path):
+    hints = tmp_path / "contigs.paths"
+    hints.write_text("NODE_1_length_10_cov_2\n1+,3+;\n")
+    segs = [
+        _seg("EDGE_1_length_100_cov_2.0"),
+        _seg("EDGE_2_length_100_cov_2.0"),
+        _seg("EDGE_3_length_100_cov_2.0"),
+    ]
+    juncs = [
+        _junc("EDGE_1_length_100_cov_2.0", "+", "EDGE_2_length_100_cov_2.0", "+", support=7),
+        _junc("EDGE_1_length_100_cov_2.0", "+", "EDGE_3_length_100_cov_2.0", "+", support=5),
+    ]
+    res = solve_matching(_graph(segs, juncs), MatchingOptions(hints_path=str(hints)))
+    walks = [w.tokens() for w in res.linear]
+    assert ["EDGE_1_length_100_cov_2.0+", "EDGE_3_length_100_cov_2.0+"] in walks
+
+
+def test_cli_and_file_contract(tmp_path):
+    graph_file = tmp_path / "g.txt"
+    graph_file.write_text(
+        "SEG A 10 1\nSEG B 10 1\nSEG C 12 1\nSEG D 5 1\n"
+        "JUNC A + B + 9 0\nJUNC B + C + 9 0\nJUNC C + A + 9 0\n"
+        "JUNC D + D + 6 0\n"
+    )
+    linear = tmp_path / "linear.txt"
+    cycle = tmp_path / "cycle.txt"
+    rc = main(["-g", str(graph_file), "-r", str(linear), "-c", str(cycle), "-s", "-i", "10"])
+    assert rc == 0
+
+    # cycle file: (marker, path) line pairs — the remove_cycle_dup contract
+    lines = open(cycle).read().splitlines()
+    assert len(lines) % 2 == 0
+    markers = lines[::2]
+    assert any(m.startswith("iter") for m in markers)
+    assert any(m.startswith("self") for m in markers)
+
+    dedup = tmp_path / "cycle_nodup.txt"
+    remove_duplicate_pairs(cycle, dedup)
+    parsed = list(iter_path_lines(dedup))
+    assert {p.marker for p in parsed} == {"iter", "self"}
+
+    # deterministic: run again → identical bytes
+    linear2 = tmp_path / "linear2.txt"
+    cycle2 = tmp_path / "cycle2.txt"
+    main(["-g", str(graph_file), "-r", str(linear2), "-c", str(cycle2), "-s", "-i", "10"])
+    assert open(linear2).read() == open(linear).read()
+    assert open(cycle2).read() == open(cycle).read()
