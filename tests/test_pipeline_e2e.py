@@ -1,0 +1,176 @@
+"""End-to-end pipeline test on a synthetic circular phage.
+
+A 20 kb circular "phage" is split into three contigs; reads tile the
+genome (for the k-mer search), split reads join the contig ends in the
+BAM (for the junction graph), gene hits and scores mark the contigs as
+phage-like.  External tools (fastp/SPAdes/bwa/blast/RagTag) are absent
+in this environment, so their artifacts are pre-staged — exactly the
+post-SPAdes scope BASELINE.json gives the rebuild — and the pipeline
+must drive search → graph → matching → filters → final FASTA on its
+own, reconstructing the phage as one cycle record.
+"""
+import numpy as np
+import pytest
+
+from palace_tpu.config import PalaceConfig
+from palace_tpu.io.bam import FLAG_MREVERSE, FLAG_PAIRED, BamFile, BamRecord, write_bam
+from palace_tpu.io.fasta import build_fai, iter_fasta, write_fasta
+from palace_tpu.pipeline.driver import run_pipeline
+
+RNG = np.random.default_rng(123)
+
+
+def _seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+
+def _tile(seq, read_len=100, step=10, offsets=(0, 3, 7)):
+    reads = []
+    for off in offsets:
+        for i in range(off, len(seq) - read_len + 1, step):
+            reads.append(seq[i : i + read_len])
+    return reads
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    out_dir = root / "output"
+    phage = _seq(20000)
+    c_lens = [8000, 7000, 5000]
+    names = [f"EDGE_{i+1}_length_{L}_cov_10.0" for i, L in enumerate(c_lens)]
+    bact_name = "EDGE_4_length_12000_cov_10.0"
+    contigs = {
+        names[0]: phage[:8000],
+        names[1]: phage[8000:15000],
+        names[2]: phage[15000:],
+        bact_name: _seq(12000),
+    }
+
+    # 01-qc: filtered fastqs = reads tiling the phage
+    qc = out_dir / "01-qc"
+    qc.mkdir(parents=True)
+    reads = _tile(phage + phage[:100])  # wrap for circular coverage
+    _write_fastq(qc / "demo_1_filter.fastq", reads)
+    _write_fastq(qc / "demo_2_filter.fastq", reads)
+
+    # 02-assembly artifacts
+    asm = out_dir / "02-assembly"
+    asm.mkdir(parents=True)
+    (asm / "contigs.fasta").write_text(
+        "".join(f">{n}\n{s}\n" for n, s in contigs.items())
+    )
+    write_fasta(asm / "assembly_graph.fasta", list(contigs.items()))
+    with open(asm / "assembly_graph.fastg", "w") as fh:
+        fh.write(f">{names[0]}:{names[1]};\n{contigs[names[0]]}\n")
+        fh.write(f">{names[1]}:{names[2]};\n{contigs[names[1]]}\n")
+        fh.write(f">{names[2]}:{names[0]};\n{contigs[names[2]]}\n")
+        fh.write(f">{bact_name};\n{contigs[bact_name]}\n")
+    with open(asm / "contigs.paths", "w") as fh:
+        fh.write("NODE_1_length_20000_cov_10\n1+,2+,3+;\n")
+
+    # BAM: split-read junctions between consecutive contigs (circular)
+    records = []
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    for a, b in pairs:
+        La = c_lens[a]
+        for i in range(6):
+            records.append(
+                BamRecord(
+                    name=f"sr_{a}_{b}_{i}", flag=0, tid=a, pos=La - 50, mapq=60,
+                    cigar=[(50, "M"), (50, "S")], mtid=-1, mpos=-1, tlen=0,
+                    seq_len=100,
+                    tags={"NM": 0, "SA": f"{names[b]},1,+,50S50M,60,0;"},
+                )
+            )
+    # coverage reads over every contig (depth for SEG/copy and the store)
+    for tid, name in enumerate(list(contigs)):
+        L = len(contigs[name])
+        for rep in range(2):
+            for pos in range(0, L - 100, 50):
+                records.append(
+                    BamRecord(
+                        name=f"cov_{tid}_{rep}_{pos}", flag=0, tid=tid, pos=pos,
+                        mapq=60, cigar=[(100, "M")], mtid=-1, mpos=-1, tlen=0,
+                        seq_len=100, tags={"NM": 0},
+                    )
+                )
+    bam = BamFile(references=[(n, len(s)) for n, s in contigs.items()], records=records)
+    write_bam(asm / "demo_reads_pe_primary.sort.bam", bam)
+
+    # 03-search pre-staged protein hits (tblastn unavailable here)
+    search = out_dir / "03-search"
+    search.mkdir(parents=True)
+    with open(search / "hit_seqs.out", "w") as fh:
+        for n in names:
+            fh.write(f"{n}\t8\n")
+
+    # phage reference database: the phage + decoys
+    db = root / "phagedb.fasta"
+    write_fasta(db, [("phageP", phage), ("decoy1", _seq(15000)), ("decoy2", _seq(15000))])
+
+    cfg = PalaceConfig(
+        fastq1=str(qc / "demo_1_filter.fastq"),
+        fastq2=str(qc / "demo_2_filter.fastq"),
+        phagedb=str(db),
+        protein_db=str(root),
+        gcn_model="",
+        out_dir=str(out_dir),
+        prefix="demo",
+        threads=2,
+    )
+    cfg.kmer.k = 16
+    cfg.kmer.window = 200
+    return cfg, names, contigs, phage
+
+
+def _stub_scorer(names):
+    def scorer(fasta, out_path):
+        with open(out_path, "w") as fh:
+            for name, _ in iter_fasta(fasta):
+                score = 0.95 if name in names else 0.05
+                fh.write(f"{name}\t{score}\n")
+        return len(names)
+
+    return scorer
+
+
+def test_pipeline_end_to_end(world):
+    cfg, names, contigs, phage = world
+    final_fa = run_pipeline(cfg, scorer=_stub_scorer(set(names)))
+    records = dict(iter_fasta(final_fa))
+    assert records, "final FASTA is empty"
+
+    # exactly one phage reconstructed, recognised as a cycle
+    cycle_records = [k for k in records if k.endswith("_cycle")]
+    assert len(cycle_records) == 1
+    seq = records[cycle_records[0]]
+    # the cycle must contain all three phage contigs joined by 50-N
+    for n in names:
+        assert contigs[n] in seq or contigs[n] in seq.replace("N" * 50, "")
+    assert seq.count("N" * 50) == 2
+    # the bacterial contig must not leak into the output
+    assert all(contigs["EDGE_4_length_12000_cov_10.0"] not in s for s in records.values())
+
+    # eref reported the phage (and only it)
+    ref_names = open(cfg.output_files()["ref_names"]).read()
+    assert "ref_index\t1\t" in ref_names
+    assert len(ref_names.strip().splitlines()) == 1
+    pct = open(cfg.output_files()["ref_percent"]).read()
+    assert pct.startswith("phageP\t")
+
+
+def test_pipeline_resumes_from_artifacts(world):
+    """Second run skips everything (artifact checkpointing) and
+    reproduces the same final FASTA."""
+    cfg, names, contigs, phage = world
+    final_fa = cfg.output_files()["final_fasta"]
+    before = open(final_fa).read()
+    run_pipeline(cfg, scorer=_stub_scorer(set(names)))
+    assert open(final_fa).read() == before
