@@ -46,19 +46,24 @@ def main() -> None:
         x_p, x_f = model_inputs_from_features(feats.astype(dtype), cfg)
         return forward(params, x_p, x_f, cfg)[:, 1]
 
-    # warmup / compile
+    # warmup / compile.  NOTE: under the axon TPU relay
+    # block_until_ready acks dispatch without waiting; the device
+    # executes in-order, so we queue every batch and force completion
+    # with ONE device-to-host fetch of the last output.
     warm = encode_batch(seqs[:batch])
-    score(params, warm).block_until_ready()
+    np.asarray(score(params, warm))
 
     t0 = time.perf_counter()
     done = 0
+    last = None
     for i in range(0, n_contigs, batch):
         chunk = seqs[i : i + batch]
         if len(chunk) < batch:
             chunk = chunk + seqs[: batch - len(chunk)]
         feats = encode_batch(chunk)
-        score(params, feats).block_until_ready()
+        last = score(params, feats)
         done += batch
+    np.asarray(last)  # sync: waits for all queued device work
     dt = time.perf_counter() - t0
     throughput = done / dt
 

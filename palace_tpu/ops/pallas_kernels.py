@@ -1,0 +1,226 @@
+"""Pallas TPU kernels for the hot ops.
+
+Two kernels (with jnp fallbacks selected automatically off-TPU or via
+``PALACE_NO_PALLAS=1``):
+
+* ``transition_counts_pallas`` — the 3-mer transition-count encoder
+  (reference encode.pyx:28-38).  The XLA version materialises a
+  (B, L, 64) one-hot in HBM; this kernel streams ``locs`` tiles into
+  VMEM, builds one-hot tiles on the fly and accumulates
+  ``onehotᵀ·onehot_shifted`` on the MXU into a (3·64, 64) VMEM
+  accumulator — HBM traffic drops from ~260 B/position to 4 B/position.
+
+* ``good_windows_pallas`` — the 500 bp sliding-window hit-density scan
+  (reference extract_ref.cpp:504-624 inner loop).  Position tiles
+  stream through VMEM; the running window needs the previous ``window``
+  indicator values, carried across the (sequential) TPU grid in VMEM
+  scratch.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_CODES = 64
+GAPS = (0, 1, 2)
+K = 3
+
+
+def use_pallas() -> bool:
+    """Opt-in (PALACE_PALLAS=1) until the kernels are proven on real
+    hardware — a kernel that wedges the chip would hang the whole
+    pipeline, so the default stays on the XLA paths."""
+    if os.environ.get("PALACE_NO_PALLAS"):
+        return False
+    if not os.environ.get("PALACE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+# ---------------------------------------------------------------------------
+# transition-count encoder kernel
+# ---------------------------------------------------------------------------
+
+def _transition_kernel(src_ref, d0_ref, d1_ref, d2_ref, nloc_ref, out_ref,
+                       acc_ref, tile_size: int):
+    """Grid (B, n_tiles): accumulate 3 gap-transition count matrices.
+
+    src_ref:   (1, 1, T, 1) int32 source 3-mer codes of this tile
+    d0..d2_ref:(1, 1, T, 1) int32 codes shifted by K+0..K+2
+    nloc_ref:  (B,) int32 in SMEM (whole array) — #valid codes per row
+    out_ref:   (1, 3*64, 64) float32
+    acc_ref:   (3*64, 64) float32 VMEM scratch (persists across tiles)
+
+    All tensor ops stay 2D (Mosaic can't reshape 1D vectors), and the
+    transposed contraction uses dot_general over dim 0.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    T = tile_size
+    n = nloc_ref[b]
+    base = t * T
+    codes = jax.lax.broadcasted_iota(jnp.int32, (T, NUM_CODES), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) + base  # (T, 1)
+
+    src = src_ref[0, 0, :, :]  # (T, 1)
+    onehot_src = (src == codes).astype(jnp.float32)  # (T, 64) via broadcast
+
+    for d, dref in zip(GAPS, (d0_ref, d1_ref, d2_ref)):
+        shift = K + d
+        dst = dref[0, 0, :, :]  # (T, 1)
+        # pair (i, i+shift) valid iff i < n - shift  (encode.pyx:33)
+        mask = (pos < n - shift).astype(jnp.float32)  # (T, 1)
+        onehot_dst = (dst == codes).astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            onehot_src * mask, onehot_dst,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (64, 64) = (src·mask)ᵀ @ dst
+        acc_ref[d * NUM_CODES : (d + 1) * NUM_CODES, :] += contrib
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        out_ref[0, :, :] = acc_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def transition_counts_pallas(locs: jnp.ndarray, n_locs: jnp.ndarray,
+                             tile: int = 2048) -> jnp.ndarray:
+    """(B, L) int32 padded codes + (B,) counts → (B, 3, 64, 64) float32."""
+    B, L = locs.shape
+    n_tiles = max(1, -(-L // tile))
+    padded_len = n_tiles * tile + 8
+    pad = padded_len - L
+    locs_p = jnp.pad(locs, ((0, 0), (0, pad)), constant_values=0)
+
+    def tiled(offset: int) -> jnp.ndarray:
+        # (B, n_tiles, tile, 1): tiles[b, t, i] = locs_p[b, t*tile + i + offset]
+        sliced = jax.lax.dynamic_slice_in_dim(locs_p, offset, n_tiles * tile, axis=1)
+        return sliced.reshape(B, n_tiles, tile, 1)
+
+    src = tiled(0)
+    dsts = [tiled(K + d) for d in GAPS]
+    nloc1 = n_locs.reshape(B).astype(jnp.int32)
+
+    kernel = functools.partial(_transition_kernel, tile_size=tile)
+    spec = pl.BlockSpec((1, 1, tile, 1), lambda b, t: (b, t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 3 * NUM_CODES, NUM_CODES), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 3 * NUM_CODES, NUM_CODES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * NUM_CODES, NUM_CODES), jnp.float32)],
+        interpret=_interpret(),
+    )(src, *dsts, nloc1)
+    return out.reshape(B, 3, NUM_CODES, NUM_CODES)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window good-flags kernel
+# ---------------------------------------------------------------------------
+
+def _window_kernel(single_ref, trio_ref, out_ref, carry_ref, window: int,
+                   one_min: int, three_min: int):
+    """Grid (n_tiles,): windowed sums with a carry of the previous
+    ``window`` indicator values.
+
+    single_ref/trio_ref: (1, T) int32 indicator tiles
+    out_ref: (1, T) int32 good flags
+    carry_ref: (2, window) int32 scratch — rows: single, trio history
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    single = single_ref[0, :]
+    trio = trio_ref[0, :]
+    T = single.shape[0]
+    base = t * T
+    pos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0] + base
+
+    ext_s = jnp.concatenate([carry_ref[0, :], single])
+    ext_t = jnp.concatenate([carry_ref[1, :], trio])
+    cs = jnp.cumsum(ext_s)
+    ct = jnp.cumsum(ext_t)
+    # windowed sum at local i (global j = base+i, ext index window+i):
+    # win[i] = Σ ext[i+1 .. window+i] — the `window` entries ending at j.
+    # For j < window the zero carry makes this equal the reference's
+    # growing prefix window (extract_ref.cpp:548-559).
+    win_s = cs[window:] - cs[:T]
+    win_t = ct[window:] - ct[:T]
+    good = (win_s >= one_min) & (win_t >= three_min)
+    out_ref[0, :] = good.astype(jnp.int32)
+
+    carry_ref[0, :] = jax.lax.dynamic_slice(ext_s, (T,), (window,))
+    carry_ref[1, :] = jax.lax.dynamic_slice(ext_t, (T,), (window,))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "one_min", "three_min", "tile"))
+def good_windows_pallas(
+    counts: jnp.ndarray,
+    hashes: jnp.ndarray,
+    window: int,
+    one_min: int,
+    three_min: int,
+    least_depth: int = 3,
+    tile: int = 4096,
+) -> jnp.ndarray:
+    """(L, 3) counts/hashes → (L,) bool good-window flags (pallas)."""
+    L = counts.shape[0]
+    hit = (counts == least_depth) & (hashes != 0)
+    hit_num = jnp.sum(hit.astype(jnp.int32), axis=1)
+    single = (hit_num > 0).astype(jnp.int32)
+    trio = (hit_num == 3).astype(jnp.int32)
+
+    n_tiles = max(1, -(-L // tile))
+    pad = n_tiles * tile - L
+    single_p = jnp.pad(single, (0, pad)).reshape(n_tiles, tile)
+    trio_p = jnp.pad(trio, (0, pad)).reshape(n_tiles, tile)
+
+    kernel = functools.partial(
+        _window_kernel, window=window, one_min=one_min, three_min=three_min
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, window), jnp.int32)],
+        interpret=_interpret(),
+    )(single_p, trio_p)
+    return out.reshape(-1)[:L].astype(bool)

@@ -139,10 +139,11 @@ def scan_reference(
         counts = counts[:ref_len]
         hashes = hashes[:ref_len]
     one_min, three_min = window_thresholds(window, hit_ratio, perfect_hit_ratio)
+    from palace_tpu.ops.pallas_kernels import good_windows_pallas, use_pallas
+
+    gw = good_windows_pallas if use_pallas() else good_windows
     good = np.asarray(
-        good_windows(
-            jnp.asarray(counts), jnp.asarray(hashes), window, one_min, three_min, least_depth
-        )
+        gw(jnp.asarray(counts), jnp.asarray(hashes), window, one_min, three_min, least_depth)
     )
     iv = intervals_from_good(good, ref_len, window)
     el = sum(e - s for s, e in iv)
