@@ -40,16 +40,21 @@ from palace_tpu.utils.timers import GLOBAL_METRICS
 
 logger = get_logger("palace")
 
-READ_BATCH = 4096  # reads per device batch
+READ_BATCH = 4096   # rows per device batch
+ROW_LEN = 160       # fixed row width: one jit shape; ≥150 bp short reads
 _MIX = np.uint64(2654435761)
 
 
 def compute_downsample_ratio(fastq_path: str | Path, target_bases: int) -> int:
     """Reference cal_sam_ratio (extract_ref.cpp:1124-1148): percentage
     = 100·target / (2 × total bases of fq1)."""
-    total = 0
-    for _, seq, _ in iter_fastq(fastq_path):
-        total += len(seq)
+    from palace_tpu.io.fastq_native import count_bases
+
+    total = count_bases(fastq_path)
+    if total is None:
+        total = 0
+        for _, seq, _ in iter_fastq(fastq_path):
+            total += len(seq)
     total *= 2  # paired
     if total == 0:
         return 100
@@ -62,25 +67,59 @@ def _keep_read(read_idx: int, ratio: int) -> bool:
     return int((np.uint64(read_idx) * _MIX) % np.uint64(100)) < ratio
 
 
-def _read_batches(
-    fastq_path: str | Path, batch: int, ratio: int, pad_len: int = 0
+def _split_rows(codes: np.ndarray, maxlen: int, k: int) -> List[np.ndarray]:
+    """Rows of ≤maxlen codes with k-1 overlap between consecutive rows
+    of the same read — the k-mer multiset is exactly preserved.  Mirrors
+    native emit_read (native/fastqcodec.cpp)."""
+    n = codes.shape[0]
+    if n <= maxlen:
+        return [codes]
+    rows = []
+    stride = maxlen - (k - 1)
+    off = 0
+    while off < n:
+        m = min(maxlen, n - off)
+        rows.append(codes[off : off + m])
+        if m < maxlen or off + m >= n:
+            break
+        off += stride
+    return rows
+
+
+def _py_read_batches(
+    fastq_path: str | Path, batch: int, maxlen: int, ratio: int, k: int
 ) -> Iterator[np.ndarray]:
-    """Yield (B, L) uint8 code matrices (pad code 4 = invalid)."""
+    """Pure-Python fallback: (rows≤batch, maxlen) uint8 code matrices,
+    pad code 4."""
     buf: List[np.ndarray] = []
-    maxlen = pad_len
     idx = 0
     for _, seq, _ in iter_fastq(fastq_path):
         if _keep_read(idx, ratio):
             codes = BASE_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
-            buf.append(codes)
-            maxlen = max(maxlen, codes.shape[0])
+            buf.extend(_split_rows(codes, maxlen, k))
         idx += 1
-        if len(buf) == batch:
-            yield _pack(buf, maxlen)
-            buf = []
-            maxlen = pad_len
+        while len(buf) >= batch:
+            yield _pack(buf[:batch], maxlen)
+            buf = buf[batch:]
     if buf:
         yield _pack(buf, maxlen)
+
+
+def read_code_batches(
+    fastq_path: str | Path,
+    batch: int = READ_BATCH,
+    maxlen: int = ROW_LEN,
+    ratio: int = 100,
+    k: int = 32,
+) -> Iterator[np.ndarray]:
+    """Fixed-shape code batches; native C parser when built, Python
+    fallback with identical output."""
+    from palace_tpu.io import fastq_native
+
+    if fastq_native.available():
+        yield from fastq_native.native_batches(fastq_path, batch, maxlen, ratio, k)
+    else:
+        yield from _py_read_batches(fastq_path, batch, maxlen, ratio, k)
 
 
 def _pack(reads: List[np.ndarray], maxlen: int) -> np.ndarray:
@@ -108,11 +147,13 @@ def count_reads_into_table(
     perm = jnp.asarray(index.perm)
     t0 = time.perf_counter()
     n_reads = 0
+    maxlen = max(ROW_LEN, params.k)
     for fq in fastq_files:
-        for codes in _read_batches(fq, READ_BATCH, ratio):
+        for codes in read_code_batches(fq, READ_BATCH, maxlen, ratio, params.k):
             n_reads += codes.shape[0]
-            if codes.shape[1] < params.k:
-                continue
+            if codes.shape[0] < READ_BATCH:  # keep one jit shape
+                codes = np.pad(codes, ((0, READ_BATCH - codes.shape[0]), (0, 0)),
+                               constant_values=4)
             hashes, valid = kmer_hashes(jnp.asarray(codes), perm, params.k)
             table = table.add_kmers(hashes, valid)
     GLOBAL_METRICS.record(

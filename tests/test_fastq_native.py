@@ -1,0 +1,106 @@
+"""Native fastqcodec (C, zlib) vs the pure-Python reader — byte-identical
+batches on plain and gzipped FASTQ, across the parser edge cases."""
+import gzip
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from palace_tpu.io import fastq_native
+from palace_tpu.search.eref import _py_read_batches, compute_downsample_ratio
+
+RNG = np.random.default_rng(7)
+BASES = "ACGT"
+
+pytestmark = pytest.mark.skipif(
+    not fastq_native.available(), reason="native toolchain unavailable"
+)
+
+
+def _mk_fastq(path: Path, seqs, crlf=False, no_final_newline=False):
+    eol = "\r\n" if crlf else "\n"
+    parts = []
+    for i, s in enumerate(seqs):
+        parts.append(f"@read{i} extra{eol}{s}{eol}+{eol}{'I' * len(s)}{eol}")
+    text = "".join(parts)
+    if no_final_newline:
+        text = text.rstrip("\r\n")
+    if path.suffix == ".gz":
+        path.write_bytes(gzip.compress(text.encode()))
+    else:
+        path.write_text(text)
+
+
+def _seqs(n, lens):
+    out = []
+    for i in range(n):
+        L = lens[i % len(lens)]
+        out.append("".join(RNG.choice(list("ACGTacgtN"), L)))
+    return out
+
+
+def _collect(gen):
+    rows = [b for b in gen]
+    return np.concatenate(rows, axis=0) if rows else np.zeros((0, 0), np.uint8)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("ratio", [100, 37])
+def test_native_matches_python(tmp_path, gz, ratio):
+    seqs = _seqs(300, [150, 151, 40, 500, 149])  # incl. reads > maxlen and < k
+    fq = tmp_path / ("r.fastq.gz" if gz else "r.fastq")
+    _mk_fastq(fq, seqs)
+    batch, maxlen, k = 64, 160, 32
+    want = _collect(_py_read_batches(fq, batch, maxlen, ratio, k))
+    got = _collect(fastq_native.native_batches(fq, batch, maxlen, ratio, k))
+    np.testing.assert_array_equal(got, want)
+    assert want.shape[1] == maxlen
+
+
+def test_crlf_and_missing_final_newline(tmp_path):
+    seqs = _seqs(17, [150, 31, 220])
+    for crlf in (False, True):
+        for nofinal in (False, True):
+            fq = tmp_path / f"c{crlf}{nofinal}.fastq"
+            _mk_fastq(fq, seqs, crlf=crlf, no_final_newline=nofinal)
+            want = _collect(_py_read_batches(fq, 8, 160, 100, 32))
+            got = _collect(fastq_native.native_batches(fq, 8, 160, 100, 32))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_long_read_kmer_multiset_preserved(tmp_path):
+    """Splitting a long read into overlapping rows must keep every k-mer
+    exactly once."""
+    import jax.numpy as jnp
+
+    from palace_tpu.ops.kmer import BASE_LUT, kmer_hashes, make_choose_coder
+
+    k, maxlen = 32, 160
+    seq = "".join(RNG.choice(list(BASES), 1000))
+    fq = tmp_path / "long.fastq"
+    _mk_fastq(fq, [seq])
+    rows = _collect(fastq_native.native_batches(fq, 64, maxlen, 100, k))
+    perm = make_choose_coder(k, 1)
+    h_rows, v_rows = kmer_hashes(jnp.asarray(rows), perm, k)
+    got = sorted(np.asarray(h_rows)[np.asarray(v_rows)][:, 0].tolist())
+    codes = BASE_LUT[np.frombuffer(seq.encode(), np.uint8)][None, :]
+    h_full, v_full = kmer_hashes(jnp.asarray(codes), perm, k)
+    want = sorted(np.asarray(h_full)[np.asarray(v_full)][:, 0].tolist())
+    assert got == want
+
+
+def test_count_bases(tmp_path):
+    seqs = _seqs(50, [150, 75, 301])
+    fq = tmp_path / "b.fastq"
+    _mk_fastq(fq, seqs)
+    assert fastq_native.count_bases(fq) == sum(len(s) for s in seqs)
+    fqz = tmp_path / "b.fastq.gz"
+    _mk_fastq(fqz, seqs, crlf=True)
+    assert fastq_native.count_bases(fqz) == sum(len(s) for s in seqs)
+
+
+def test_downsample_ratio_uses_native(tmp_path):
+    seqs = _seqs(100, [100])  # 10 kb → ×2 = 20 kb
+    fq = tmp_path / "d.fastq"
+    _mk_fastq(fq, seqs)
+    assert compute_downsample_ratio(fq, 2000) == 10
