@@ -14,6 +14,7 @@ Prints one JSON object with per-N throughputs and efficiency.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,10 +23,19 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent) if "__file__" in globals() else ".")
 
+# Force the 8-virtual-CPU-device mesh BEFORE jax initialises a backend:
+# the axon sitecustomize registers the TPU at interpreter start, so both
+# the env var and jax.config are needed (same pattern as tests/conftest).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax
 
-if jax.devices()[0].platform != "cpu" and len(jax.devices()) < 2:
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
@@ -63,11 +73,27 @@ def main():
         thr = batch.size / t / 1e6
         if base is None:
             base = thr
+        # Virtual devices share the host's physical cores, so total
+        # compute capacity is constant: with fixed total work the ideal
+        # sharded run matches the 1-device wall time, and any deficit is
+        # partition/collective overhead.  (True 1→N speedup needs real
+        # chips; the driver's dryrun + this overhead bound cover the
+        # collective structure.)
         results[f"n{n}"] = {
             "Mkmers_per_s": round(thr, 2),
-            "efficiency_vs_1": round(thr / (base * n), 3) if n > 1 else 1.0,
+            "relative_throughput_vs_1dev": round(thr / base, 3),
         }
-    print(json.dumps({"devices": n_total, "k": k, "scaling": results}, indent=1))
+    print(
+        json.dumps(
+            {
+                "devices": n_total,
+                "k": k,
+                "note": "shared-core virtual mesh: ideal relative_throughput is 1.0; deficit = sharding overhead",
+                "scaling": results,
+            },
+            indent=1,
+        )
+    )
 
 
 if __name__ == "__main__":

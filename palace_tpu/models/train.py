@@ -64,3 +64,96 @@ def train_step(
     updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_opt_state, state.step + 1), loss
+
+
+def fit(
+    features,
+    labels,
+    cfg: GCNConfig = DEFAULT_CONFIG,
+    *,
+    epochs: int = 1,
+    batch_size: int = 64,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    mesh=None,
+    ckpt_dir=None,
+    ckpt_every: int = 0,
+    init_state: Optional[TrainState] = None,
+) -> Tuple[TrainState, list]:
+    """Mini training loop over encoded features.
+
+    features: (N, 3·64·64) float (from ops.encoder.transition_features)
+    labels:   (N,) int {0 = non-phage, 1 = phage}
+
+    With ``mesh`` the batch is sharded over the ``data`` axis and params
+    over ``model`` (dp×tp).  ``ckpt_dir`` + ``ckpt_every`` enable orbax
+    checkpointing; if the directory already holds a checkpoint, training
+    resumes from it (the stage-artifact resume semantics of the
+    reference driver, applied to training).  Returns the final state and
+    the per-epoch mean losses.
+    """
+    import numpy as np
+
+    from palace_tpu.models.gcn import init_params, model_inputs_from_features
+
+    n = int(features.shape[0])
+    if n == 0:
+        raise ValueError("no training examples")
+    key = jax.random.PRNGKey(seed)
+
+    if init_state is None:
+        key, pkey = jax.random.split(key)
+        params = init_params(pkey, cfg)
+        if mesh is not None:
+            from palace_tpu.parallel.mesh import shard_params_for_gcn
+
+            params = shard_params_for_gcn(params, mesh)
+        state = init_train_state(params, learning_rate)
+    else:
+        state = init_state
+
+    if ckpt_dir is not None:
+        from palace_tpu.models.checkpoint import restore_train_state
+
+        restored = restore_train_state(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+
+    data_shard = None
+    if mesh is not None:
+        from palace_tpu.parallel.mesh import data_sharding
+
+        data_shard = data_sharding(mesh, 2)
+        label_shard = data_sharding(mesh, 1)
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        epoch_losses = []
+        for i in range(0, n, batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:  # keep one jit shape: wrap around
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            xb = jnp.asarray(np.asarray(features)[idx])
+            yb = jnp.asarray(np.asarray(labels)[idx].astype(np.int32))
+            if data_shard is not None:
+                xb = jax.device_put(xb, data_shard)
+                yb = jax.device_put(yb, label_shard)
+            x_p, x_f = model_inputs_from_features(xb, cfg)
+            key, dkey = jax.random.split(key)
+            state, loss = train_step(
+                state, x_p, x_f, yb, dkey, cfg, learning_rate
+            )
+            epoch_losses.append(loss)
+            if ckpt_dir is not None and ckpt_every and \
+                    int(jax.device_get(state.step)) % ckpt_every == 0:
+                from palace_tpu.models.checkpoint import save_train_state
+
+                save_train_state(ckpt_dir, state)
+        losses.append(float(np.mean([jax.device_get(l) for l in epoch_losses])))
+    if ckpt_dir is not None:
+        from palace_tpu.models.checkpoint import save_train_state
+
+        save_train_state(ckpt_dir, state)
+    return state, losses
