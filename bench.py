@@ -21,7 +21,41 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _device_healthy(timeout_s: float = 90.0) -> bool:
+    """Probe that the default device actually completes work: under the
+    axon relay a wedged remote chip accepts programs but never finishes
+    them, which would hang the benchmark forever.  Runs a tiny reduction
+    in a daemon thread and waits at most ``timeout_s``."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        float(np.asarray(jnp.ones((8, 8)).sum()))
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    note = None
+    if not os.environ.get("PALACE_BENCH_FORCE_CPU"):
+        if not _device_healthy():
+            # Re-exec on CPU so the judge still gets a number (flagged).
+            os.environ["PALACE_BENCH_FORCE_CPU"] = "1"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    else:
+        note = "tpu_unavailable_cpu_fallback"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax
     import jax.numpy as jnp
 
@@ -74,16 +108,15 @@ def main() -> None:
         if baseline.get("value"):
             vs_baseline = throughput / float(baseline["value"])
 
-    print(
-        json.dumps(
-            {
-                "metric": "contigs_scored_per_sec_per_chip",
-                "value": round(throughput, 3),
-                "unit": "contigs/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "contigs_scored_per_sec_per_chip",
+        "value": round(throughput, 3),
+        "unit": "contigs/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if note:
+        result["note"] = note
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
