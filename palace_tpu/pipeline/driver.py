@@ -494,19 +494,55 @@ class PalacePipeline:
 
     # ------------------------------------------------------------------
     def run(self) -> Path:
+        import time as _time
+
+        from palace_tpu.utils.timers import StageTimer
+
+        t0 = _time.perf_counter()
         total = 6
         show_progress(1, total, "Quality Control")
-        self.step1_qc()
+        with StageTimer("step1.qc"):
+            self.step1_qc()
         show_progress(2, total, "Assembly and Alignment")
-        self.step2_assembly()
+        with StageTimer("step2.assembly"):
+            self.step2_assembly()
         show_progress(3, total, "Reference and Protein Search")
-        self.step3_search()
+        with StageTimer("step3.search"):
+            self.step3_search()
         show_progress(4, total, "Graph Construction and Matching")
-        s4 = self.step4_graph_match()
+        with StageTimer("step4.graph_match"):
+            s4 = self.step4_graph_match()
         show_progress(5, total, "Further Assembly")
-        self.step5_second_pass(s4)
+        with StageTimer("step5.second_pass"):
+            self.step5_second_pass(s4)
         show_progress(6, total, "Generating Final Results")
-        return self.step6_final(s4)
+        with StageTimer("step6.final"):
+            final = self.step6_final(s4)
+        self._report(final, _time.perf_counter() - t0)
+        return final
+
+    def _report(self, final_fa: Path, wall_s: float) -> None:
+        """End-of-run summary (reference report, palace:893-918) plus a
+        machine-readable per-stage metrics artifact."""
+        from palace_tpu.utils.timers import GLOBAL_METRICS
+
+        metrics_path = self.out_dir / f"{self.cfg.prefix}_metrics.json"
+        GLOBAL_METRICS.dump_json(str(metrics_path))
+        n_seqs = 0
+        if final_fa.exists():
+            with open(final_fa) as fh:
+                n_seqs = sum(1 for line in fh if line.startswith(">"))
+        logger.info("=" * 52)
+        logger.info("Run complete: %d phage sequence(s) in %s", n_seqs, final_fa)
+        logger.info("Total wall time: %.1f s", wall_s)
+        for name, rec in sorted(GLOBAL_METRICS.stages.items()):
+            if rec.items:
+                logger.info("  %-24s %8.2fs  %10.1f %s/s",
+                            name, rec.seconds, rec.throughput, rec.unit)
+            else:
+                logger.info("  %-24s %8.2fs", name, rec.seconds)
+        logger.info("Per-stage metrics: %s", metrics_path)
+        logger.info("=" * 52)
 
 
 def run_pipeline(cfg: PalaceConfig, force: bool = False, mesh=None,
