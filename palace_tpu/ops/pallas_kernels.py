@@ -64,7 +64,8 @@ def _transition_kernel(src_ref, d0_ref, d1_ref, d2_ref, nloc_ref, out_ref,
 
     src_ref:   (1, 1, T, 1) int32 source 3-mer codes of this tile
     d0..d2_ref:(1, 1, T, 1) int32 codes shifted by K+0..K+2
-    nloc_ref:  (B,) int32 in SMEM (whole array) — #valid codes per row
+    nloc_ref:  (B, 1) int32 in SMEM (whole array; SMEM wants 2-D) —
+               #valid codes per row
     out_ref:   (1, 3*64, 64) float32
     acc_ref:   (3*64, 64) float32 VMEM scratch (persists across tiles)
 
@@ -80,7 +81,7 @@ def _transition_kernel(src_ref, d0_ref, d1_ref, d2_ref, nloc_ref, out_ref,
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     T = tile_size
-    n = nloc_ref[b]
+    n = nloc_ref[b, 0]
     base = t * T
     codes = jax.lax.broadcasted_iota(jnp.int32, (T, NUM_CODES), 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) + base  # (T, 1)
@@ -123,7 +124,7 @@ def transition_counts_pallas(locs: jnp.ndarray, n_locs: jnp.ndarray,
 
     src = tiled(0)
     dsts = [tiled(K + d) for d in GAPS]
-    nloc1 = n_locs.reshape(B).astype(jnp.int32)
+    nloc1 = n_locs.reshape(B, 1).astype(jnp.int32)
 
     kernel = functools.partial(_transition_kernel, tile_size=tile)
     spec = pl.BlockSpec((1, 1, tile, 1), lambda b, t: (b, t, 0, 0),
@@ -163,27 +164,25 @@ def _window_kernel(single_ref, trio_ref, out_ref, carry_ref, window: int,
     def _():
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
-    single = single_ref[0, :]
-    trio = trio_ref[0, :]
-    T = single.shape[0]
-    base = t * T
-    pos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0] + base
+    single = single_ref[0:1, :]  # (1, T) — stay 2-D throughout (Mosaic)
+    trio = trio_ref[0:1, :]
+    T = single.shape[1]
 
-    ext_s = jnp.concatenate([carry_ref[0, :], single])
-    ext_t = jnp.concatenate([carry_ref[1, :], trio])
-    cs = jnp.cumsum(ext_s)
-    ct = jnp.cumsum(ext_t)
+    ext_s = jnp.concatenate([carry_ref[0:1, :], single], axis=1)
+    ext_t = jnp.concatenate([carry_ref[1:2, :], trio], axis=1)
+    cs = jnp.cumsum(ext_s, axis=1)
+    ct = jnp.cumsum(ext_t, axis=1)
     # windowed sum at local i (global j = base+i, ext index window+i):
     # win[i] = Σ ext[i+1 .. window+i] — the `window` entries ending at j.
     # For j < window the zero carry makes this equal the reference's
     # growing prefix window (extract_ref.cpp:548-559).
-    win_s = cs[window:] - cs[:T]
-    win_t = ct[window:] - ct[:T]
+    win_s = cs[:, window:] - cs[:, :T]
+    win_t = ct[:, window:] - ct[:, :T]
     good = (win_s >= one_min) & (win_t >= three_min)
-    out_ref[0, :] = good.astype(jnp.int32)
+    out_ref[0:1, :] = good.astype(jnp.int32)
 
-    carry_ref[0, :] = jax.lax.dynamic_slice(ext_s, (T,), (window,))
-    carry_ref[1, :] = jax.lax.dynamic_slice(ext_t, (T,), (window,))
+    carry_ref[0:1, :] = jax.lax.dynamic_slice(ext_s, (0, T), (1, window))
+    carry_ref[1:2, :] = jax.lax.dynamic_slice(ext_t, (0, T), (1, window))
 
 
 @functools.partial(jax.jit, static_argnames=("window", "one_min", "three_min", "tile"))
