@@ -36,6 +36,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_len(n: int, minimum: int = 4096) -> int:
+    """Round up to the next {2^k, 1.5·2^k} bucket so jitted scans see a
+    bounded set of shapes (≤2 per octave) instead of one compile per
+    distinct reference length; padding waste ≤ 50 %."""
+    if n <= minimum:
+        return minimum
+    p = 1 << (int(n - 1).bit_length() - 1)  # largest power of two < n... or == n
+    if n <= p:
+        return p
+    if n <= p + p // 2:
+        return p + p // 2
+    return 2 * p
+
+
 def window_thresholds(window: int, hit_ratio: float, perfect_hit_ratio: float) -> Tuple[int, int]:
     """C++ ``int m = window * (float)ratio`` truncation semantics."""
     one_min = int(np.float32(window) * np.float32(hit_ratio))
@@ -131,20 +145,22 @@ def scan_reference(
     ref_len-k+1 positions (the caller may pass them zero-padded to
     ref_len).  Returns a RefHit when coverage > min_cover_ratio."""
     L = counts.shape[0]
-    if L < ref_len:
-        pad = ref_len - L
-        counts = np.pad(counts, ((0, pad), (0, 0)))
-        hashes = np.pad(hashes, ((0, pad), (0, 0)))
-    elif L > ref_len:
-        counts = counts[:ref_len]
-        hashes = hashes[:ref_len]
+    # pad to the length bucket (one jit shape per bucket, not per ref);
+    # padded positions have hash 0 ⇒ permanent miss, and the good flags
+    # are sliced back to ref_len before the interval machine.
+    target = bucket_len(max(ref_len, L))
+    counts = jnp.asarray(counts)
+    hashes = jnp.asarray(hashes)
+    if L < target:
+        counts = jnp.pad(counts, ((0, target - L), (0, 0)))
+        hashes = jnp.pad(hashes, ((0, target - L), (0, 0)))
     one_min, three_min = window_thresholds(window, hit_ratio, perfect_hit_ratio)
     from palace_tpu.ops.pallas_kernels import good_windows_pallas, use_pallas
 
     gw = good_windows_pallas if use_pallas() else good_windows
     good = np.asarray(
-        gw(jnp.asarray(counts), jnp.asarray(hashes), window, one_min, three_min, least_depth)
-    )
+        gw(counts, hashes, window, one_min, three_min, least_depth)
+    )[:ref_len]
     iv = intervals_from_good(good, ref_len, window)
     el = sum(e - s for s, e in iv)
     ratio = el / ref_len if ref_len else 0.0

@@ -168,16 +168,23 @@ def search_references(
     params: KmerParams,
 ) -> List[RefHit]:
     """Phase B: scan every reference against the table."""
+    from palace_tpu.ops.window import bucket_len
+
     hits: List[RefHit] = []
     t0 = time.perf_counter()
     for r in range(index.n_refs):
         ref_hashes = np.asarray(index.ref_hashes(r))
         if ref_hashes.shape[0] == 0:
             continue
-        counts = np.asarray(table.lookup(jnp.asarray(ref_hashes)))
+        # pad to the length bucket before the device lookup so both the
+        # gather and the window scan compile once per bucket, not per ref
+        L = ref_hashes.shape[0]
+        target = bucket_len(max(L, int(index.lengths[r])))
+        padded = np.pad(ref_hashes, ((0, target - L), (0, 0)))
+        counts = table.lookup(jnp.asarray(padded))
         hit = scan_reference(
             counts,
-            ref_hashes,
+            padded,
             ref_index=r + 1,  # 1-based FASTA record number
             ref_len=int(index.lengths[r]),
             window=params.window,

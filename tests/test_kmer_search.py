@@ -277,3 +277,15 @@ def test_end_to_end_mini_search(tmp_path):
     written = extract_reference_sequences(db, out, phage_refs, pct)
     assert [name for name, _ in written] == ["phageB"]
     assert "phageB" in open(phage_refs).read()
+
+
+def test_bucket_len_bounded_shapes():
+    from palace_tpu.ops.window import bucket_len
+
+    for n in [1, 100, 4096, 4097, 6000, 6144, 6145, 8192, 10000, 1 << 20]:
+        b = bucket_len(n)
+        assert b >= n
+        assert b <= max(4096, int(n * 3 / 2) + 1)
+    # distinct buckets over a realistic ref-length spread stay small
+    lens = list(range(5000, 3_000_000, 777))
+    assert len({bucket_len(n) for n in lens}) <= 20
