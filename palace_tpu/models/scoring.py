@@ -65,9 +65,11 @@ def score_sequences(
         # batches shard over the data axis → round batch up to a multiple
         ndata = mesh.shape.get("data", 1)
         batch_size = ((batch_size + ndata - 1) // ndata) * ndata
-    results: List[Tuple[str, float]] = []
     t0 = time.perf_counter()
     n = 0
+    # dispatch every batch without syncing — the device pipelines
+    # batches while the host encodes the next one; fetch at the end
+    pending: List[Tuple[List[str], jax.Array]] = []
     for chunk in _batches(iter(named_seqs), batch_size):
         names = [name for name, _ in chunk]
         seqs = [seq for _, seq in chunk]
@@ -77,10 +79,12 @@ def score_sequences(
         feats = encode_fn(seqs)
         if mesh is not None:
             feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
-        probs = np.asarray(phage_probabilities(params, feats, cfg))
-        for name, p in zip(names, probs[: len(names)]):
-            results.append((name, float(p)))
+        pending.append((names, phage_probabilities(params, feats, cfg)))
         n += len(names)
+    results: List[Tuple[str, float]] = []
+    for names, probs in pending:
+        host = np.asarray(probs)
+        results.extend((nm, float(p)) for nm, p in zip(names, host[: len(names)]))
     GLOBAL_METRICS.record("gcn.score", time.perf_counter() - t0, items=n, unit="contigs")
     return results
 
