@@ -302,13 +302,29 @@ class PalacePipeline:
 
         subgraphs = sorted(sm_dir.glob("*.second"))
         logger.info("Found %d subgraph(s) to process", len(subgraphs))
-        for fullname in subgraphs:
+
+        def _one(fullname: Path) -> None:
             second = str(fullname)[: -len(".second")]
             refname = Path(second).name
             refname = refname[refname.find("_ref") + 4 :]
             if refname.endswith("ref"):
                 refname = refname[:-3]
             self._process_subgraph(fullname, second, refname, s4)
+
+        # The reference runs this loop serially (palace:672-806) though
+        # every subgraph is independent (distinct file names, read-only
+        # shared inputs).  Thread pool: the heavy parts are external
+        # RagTag/BLAST subprocesses, which release the GIL.
+        workers = min(len(subgraphs), max(1, int(cfg.threads)))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for _ in pool.map(_one, subgraphs):
+                    pass
+        else:
+            for fullname in subgraphs:
+                _one(fullname)
 
     def _process_subgraph(self, fullname: Path, second: str, refname: str, s4) -> None:
         cfg = self.cfg
