@@ -171,3 +171,61 @@ def test_cli_and_file_contract(tmp_path):
     main(["-g", str(graph_file), "-r", str(linear2), "-c", str(cycle2), "-s", "-i", "10"])
     assert open(linear2).read() == open(linear).read()
     assert open(cycle2).read() == open(cycle).read()
+
+
+def _flip(o):
+    return "-" if o == "+" else "+"
+
+
+def _allowed_pairs(g):
+    """Oriented transitions permitted by the graph: each JUNC and its
+    conjugate (reverse-complement traversal)."""
+    allowed = set()
+    for j in g.juncs:
+        allowed.add(((j.left, j.left_orient), (j.right, j.right_orient)))
+        allowed.add(
+            ((j.right, _flip(j.right_orient)), (j.left, _flip(j.left_orient)))
+        )
+    return allowed
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_solver_structural_invariants_fuzz(seed):
+    """Random conjugate graphs: visits respect copy budgets, every
+    consecutive (and cycle-closing) transition is a real junction, and
+    the solver is deterministic."""
+    import random
+
+    rnd = random.Random(seed)
+    n = rnd.randint(3, 10)
+    names = [f"EDGE_{i}_length_{rnd.randint(1000, 90000)}_cov_{rnd.randint(2, 40)}" for i in range(n)]
+    segs = [_seg(nm, copy=rnd.randint(1, 3)) for nm in names]
+    juncs = []
+    seen = set()
+    for _ in range(rnd.randint(2, 3 * n)):
+        a, b = rnd.choice(names), rnd.choice(names)
+        lo, ro = rnd.choice("+-"), rnd.choice("+-")
+        if (a, lo, b, ro) in seen:
+            continue
+        seen.add((a, lo, b, ro))
+        juncs.append(_junc(a, lo, b, ro, support=rnd.randint(5, 60)))
+    g = _graph(segs, juncs)
+
+    res = solve_matching(g)
+    copy_of = {s.name: s.copy_number for s in segs}
+    visits = _visit_counts(res)
+    for name, cnt in visits.items():
+        assert cnt <= copy_of[name], f"{name} visited {cnt} > copy {copy_of[name]}"
+
+    allowed = _allowed_pairs(g)
+    for walk in res.linear + res.cycles:
+        nodes = list(walk.nodes)
+        for u, v in zip(nodes, nodes[1:]):
+            assert (u, v) in allowed, f"transition {u}->{v} not in graph"
+        if getattr(walk, "closed", False) and len(nodes) > 1:
+            assert (nodes[-1], nodes[0]) in allowed
+
+    res2 = solve_matching(g)
+    assert [w.tokens() for w in res2.linear + res2.cycles] == [
+        w.tokens() for w in res.linear + res.cycles
+    ]
