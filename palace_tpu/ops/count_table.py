@@ -51,9 +51,11 @@ def _cap_batch_multiplicity(hashes: jnp.ndarray, valid: jnp.ndarray, cap: int) -
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _update_table(table: jnp.ndarray, hashes: jnp.ndarray, valid: jnp.ndarray,
                   cap: int) -> jnp.ndarray:
-    capped = _cap_batch_multiplicity(hashes, valid, cap)  # uint32 indices
-    table = table.at[capped].add(jnp.uint8(1), mode="drop")
-    table = table.at[capped].min(jnp.uint8(cap), mode="drop")
+    capped = _cap_batch_multiplicity(hashes, valid, cap)  # sorted uint32
+    table = table.at[capped].add(jnp.uint8(1), mode="drop",
+                                 indices_are_sorted=True)
+    table = table.at[capped].min(jnp.uint8(cap), mode="drop",
+                                 indices_are_sorted=True)
     return table
 
 
