@@ -87,17 +87,24 @@ def main() -> None:
     warm = encode_batch(seqs[:batch])
     np.asarray(score(params, warm))
 
+    import contextlib
+
+    profile_dir = os.environ.get("PALACE_BENCH_PROFILE")
+    prof = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
     done = 0
     last = None
-    for i in range(0, n_contigs, batch):
-        chunk = seqs[i : i + batch]
-        if len(chunk) < batch:
-            chunk = chunk + seqs[: batch - len(chunk)]
-        feats = encode_batch(chunk)
-        last = score(params, feats)
-        done += batch
-    np.asarray(last)  # sync: waits for all queued device work
+    with prof:
+        for i in range(0, n_contigs, batch):
+            chunk = seqs[i : i + batch]
+            if len(chunk) < batch:
+                chunk = chunk + seqs[: batch - len(chunk)]
+            feats = encode_batch(chunk)
+            last = score(params, feats)
+            done += batch
+        np.asarray(last)  # sync: waits for all queued device work
     dt = time.perf_counter() - t0
     throughput = done / dt
 

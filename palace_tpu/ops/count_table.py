@@ -3,14 +3,16 @@
 The reference allocates one 2^32-byte host array and lets pthreads
 race on saturating increments ("benign" race, extract_ref.cpp:26,
 :995-998 — counts saturate at least_depth=3).  The TPU design keeps
-exact saturation semantics with batched scatters:
+exact saturation semantics with batch-sorted updates: sort the batch's
+hashes (invalid → slot 0, the reference's permanent-miss slot,
+extract_ref.cpp:861-866), derive each value's multiplicity from its
+sorted run, then either
 
-1. sort the batch's hashes and keep at most ``cap`` occurrences of
-   each (dropped/invalid hashes are redirected to slot 0, which the
-   reference itself treats as a permanent miss, extract_ref.cpp:861-866),
-2. scatter-add ones (now each slot gains ≤ cap per batch, so uint8
-   never wraps),
-3. scatter-min the touched slots back down to ``cap``.
+* ``set``: one gather + one scatter-set of ``min(old+mult, cap)`` —
+  every run member writes the identical value, so the scatter needs no
+  duplicate combine (fast path on TPU), or
+* ``addmin``: scatter-add the (≤cap-clipped) multiplicity at each run's
+  last occurrence, then scatter-min back to ``cap`` (fast path on CPU).
 
 ``ShardedCountTable`` splits the table across every device of a mesh
 by hash range (the multi-chip story of BASELINE.json): updates mask
@@ -21,6 +23,7 @@ phases ride ICI collectives.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -30,33 +33,87 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _cap_batch_multiplicity(hashes: jnp.ndarray, valid: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """Flatten, drop invalid (→0), and keep ≤cap copies of each hash.
+def _sorted_run_lengths(
+    hashes: jnp.ndarray, valid: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort the batch and compute per-value multiplicities.
 
     ``valid`` may be per-hash or per-position (one axis short, e.g.
-    (B, M) against (B, M, 3) coder hashes) — it broadcasts up."""
+    (B, M) against (B, M, 3) coder hashes) — it broadcasts up.
+    Invalid hashes map to 0 (the reference's permanent-miss slot,
+    extract_ref.cpp:861-866).
+
+    Returns ``(s, total)``: the sorted flat hashes and, at every
+    position, the TOTAL multiplicity of that position's value in the
+    batch (identical across all members of a run).
+    """
     if valid.ndim == hashes.ndim - 1:
         valid = valid[..., None]
     valid = jnp.broadcast_to(valid, hashes.shape)
     flat = jnp.where(valid.reshape(-1), hashes.reshape(-1), 0)
     s = jnp.sort(flat)
-    # drop element i if the previous `cap` sorted entries are all equal to it
-    drop = jnp.ones_like(s, dtype=bool)
-    for back in range(1, cap + 1):
-        prev = jnp.concatenate([jnp.zeros((back,), s.dtype), s[:-back]]) if back <= s.shape[0] else s
-        drop = drop & (s == prev) & (jax.lax.broadcasted_iota(jnp.int32, s.shape + (1,), 0)[:, 0] >= back)
-    return jnp.where(drop, 0, s)
+    n = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    prev = jnp.concatenate([s[:1], s[:-1]])
+    is_new = (pos == 0) | (s != prev)
+    nxt = jnp.concatenate([s[1:], s[-1:]])
+    is_last = (pos == n - 1) | (s != nxt)
+    first_pos = jax.lax.cummax(jnp.where(is_new, pos, -1))
+    last_pos = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(is_last, pos, n))))
+    total = last_pos - first_pos + 1
+    return s, total
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
+def _update_table_set(table: jnp.ndarray, hashes: jnp.ndarray,
+                      valid: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Exact saturating update as ONE gather + ONE scatter-set.
+
+    Every member of a sorted run writes the identical value
+    ``min(old + run_multiplicity, cap)`` to its own slot — duplicate
+    scatter-sets of equal values are order-independent, so no
+    duplicate-handling combine (the slow part of scatter-add on TPU)
+    is needed, and the sorted-indices hint holds."""
+    s, total = _sorted_run_lengths(hashes, valid)
+    old = table[s]
+    newv = jnp.minimum(
+        old.astype(jnp.int32) + total, jnp.int32(cap)
+    ).astype(jnp.uint8)
+    return table.at[s].set(newv, mode="drop", indices_are_sorted=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _update_table_addmin(table: jnp.ndarray, hashes: jnp.ndarray,
+                         valid: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """add-then-min variant: each position adds min(run_prefix≤cap)…
+    kept because CPU XLA runs the two cheap scatters faster than the
+    gather+set pair; per-batch adds are bounded by ``total ≤ batch`` so
+    we clip to cap before adding to keep uint8 safe."""
+    s, total = _sorted_run_lengths(hashes, valid)
+    n = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    nxt = jnp.concatenate([s[1:], s[-1:]])
+    is_last = (pos == n - 1) | (s != nxt)
+    inc = jnp.where(is_last, jnp.minimum(total, cap), 0).astype(jnp.uint8)
+    table = table.at[s].add(inc, mode="drop", indices_are_sorted=True)
+    table = table.at[s].min(jnp.uint8(cap), mode="drop",
+                            indices_are_sorted=True)
+    return table
+
+
 def _update_table(table: jnp.ndarray, hashes: jnp.ndarray, valid: jnp.ndarray,
                   cap: int) -> jnp.ndarray:
-    capped = _cap_batch_multiplicity(hashes, valid, cap)  # sorted uint32
-    table = table.at[capped].add(jnp.uint8(1), mode="drop",
-                                 indices_are_sorted=True)
-    table = table.at[capped].min(jnp.uint8(cap), mode="drop",
-                                 indices_are_sorted=True)
-    return table
+    impl = os.environ.get("PALACE_TABLE_IMPL")
+    if impl == "set":
+        return _update_table_set(table, hashes, valid, cap)
+    if impl == "addmin":
+        return _update_table_addmin(table, hashes, valid, cap)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    fn = _update_table_set if on_tpu else _update_table_addmin
+    return fn(table, hashes, valid, cap)
 
 
 @jax.jit
@@ -130,12 +187,19 @@ class ShardedCountTable:
             idx = jnp.where(in_range, local, jnp.uint32(0))
             return idx, in_range
 
-        def update_shard(table_shard, hashes):
-            idx, in_range = _local_idx(hashes)
-            inc = jnp.where(in_range, 1, 0).astype(jnp.uint8)
-            table_shard = table_shard.at[idx].add(inc)
-            table_shard = table_shard.at[idx].min(jnp.uint8(cap))
-            return table_shard
+        def update_shard(table_shard, s, total):
+            # s is globally sorted with per-value totals (computed once,
+            # replicated); each shard rewrites only its hash range.
+            # Out-of-range entries target index shard_size (OOB → drop);
+            # duplicates within a run write identical values, so the
+            # scatter-set needs no combine.
+            idx, in_range = _local_idx(s)
+            old = table_shard[jnp.where(in_range, idx, 0)]
+            newv = jnp.minimum(
+                old.astype(jnp.int32) + total, jnp.int32(cap)
+            ).astype(jnp.uint8)
+            idx_s = jnp.where(in_range, idx, jnp.uint32(shard_size))
+            return table_shard.at[idx_s].set(newv, mode="drop")
 
         def lookup_shard(table_shard, hashes):
             idx, in_range = _local_idx(hashes)
@@ -148,16 +212,16 @@ class ShardedCountTable:
                   valid: Optional[jnp.ndarray] = None) -> "ShardedCountTable":
         if valid is None:
             valid = jnp.ones(hashes.shape, bool)
-        capped = _cap_batch_multiplicity(jnp.asarray(hashes, jnp.uint32), valid, self.cap)
+        s, total = _sorted_run_lengths(jnp.asarray(hashes, jnp.uint32), valid)
         update_shard, _, axes = self._shard_fns()
         spec_table = P(axes)
         f = jax.jit(
             jax.shard_map(
                 update_shard, mesh=self.mesh,
-                in_specs=(spec_table, P()), out_specs=spec_table,
+                in_specs=(spec_table, P(), P()), out_specs=spec_table,
             )
         )
-        new_table = f(self.table, capped)
+        new_table = f(self.table, s, total)
         return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
 
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:
