@@ -1,6 +1,7 @@
 """Build a synthetic demo dataset + config for the pipeline CLI.
 
-Creates a 20 kb circular phage split into three contigs, tiled reads,
+Creates a 20 kb circular phage (three contigs) and a 14 kb linear
+phage (two contigs), tiled reads,
 a BAM with junction evidence, a phage reference DB with decoys, and
 pre-staged artifacts for the external-tool stages (QC/assembly/
 mapping), then writes ``config.txt``.  Run the pipeline with:
@@ -46,20 +47,28 @@ def _tile(seq, read_len=100, step=10, offsets=(0, 3, 7)):
 
 def build(root: Path) -> Path:
     out_dir = root / "output"
+    # phage 1: 20 kb circular, three contigs with a closing junction
     phage = _seq(20000)
     c_lens = [8000, 7000, 5000]
     names = [f"EDGE_{i+1}_length_{L}_cov_10.0" for i, L in enumerate(c_lens)]
+    # phage 2: 14 kb LINEAR, two contigs, no closing junction
+    phage2 = _seq(14000)
+    lin_lens = [8000, 6000]
+    lin_names = [f"EDGE_{i+5}_length_{L}_cov_10.0" for i, L in enumerate(lin_lens)]
     bact = "EDGE_4_length_12000_cov_10.0"
     contigs = {
         names[0]: phage[:8000],
         names[1]: phage[8000:15000],
         names[2]: phage[15000:],
+        lin_names[0]: phage2[:8000],
+        lin_names[1]: phage2[8000:],
         bact: _seq(12000),
     }
+    tid_of = {n: i for i, n in enumerate(contigs)}
 
     qc = out_dir / "01-qc"
     qc.mkdir(parents=True, exist_ok=True)
-    reads = _tile(phage + phage[:100])
+    reads = _tile(phage + phage[:100]) + _tile(phage2)
     _write_fastq(qc / "demo_1_filter.fastq", reads)
     _write_fastq(qc / "demo_2_filter.fastq", reads)
 
@@ -71,18 +80,29 @@ def build(root: Path) -> Path:
         fh.write(f">{names[0]}:{names[1]};\n{contigs[names[0]]}\n")
         fh.write(f">{names[1]}:{names[2]};\n{contigs[names[1]]}\n")
         fh.write(f">{names[2]}:{names[0]};\n{contigs[names[2]]}\n")
+        fh.write(f">{lin_names[0]}:{lin_names[1]};\n{contigs[lin_names[0]]}\n")
+        fh.write(f">{lin_names[1]};\n{contigs[lin_names[1]]}\n")
         fh.write(f">{bact};\n{contigs[bact]}\n")
-    (asm / "contigs.paths").write_text("NODE_1_length_20000_cov_10\n1+,2+,3+;\n")
+    (asm / "contigs.paths").write_text(
+        "NODE_1_length_20000_cov_10\n1+,2+,3+;\n"
+        "NODE_2_length_14000_cov_10\n5+,6+;\n"
+    )
 
     records = []
-    for a, b in [(0, 1), (1, 2), (2, 0)]:
+    junctions = [
+        (names[0], names[1]), (names[1], names[2]), (names[2], names[0]),
+        (lin_names[0], lin_names[1]),
+    ]
+    for an, bn in junctions:
+        a = tid_of[an]
         for i in range(6):
             records.append(
                 BamRecord(
-                    name=f"sr_{a}_{b}_{i}", flag=0, tid=a, pos=c_lens[a] - 50,
+                    name=f"sr_{a}_{tid_of[bn]}_{i}", flag=0, tid=a,
+                    pos=len(contigs[an]) - 50,
                     mapq=60, cigar=[(50, "M"), (50, "S")], mtid=-1, mpos=-1,
                     tlen=0, seq_len=100,
-                    tags={"NM": 0, "SA": f"{names[b]},1,+,50S50M,60,0;"},
+                    tags={"NM": 0, "SA": f"{bn},1,+,50S50M,60,0;"},
                 )
             )
     for tid, name in enumerate(contigs):
@@ -104,14 +124,15 @@ def build(root: Path) -> Path:
     search = out_dir / "03-search"
     search.mkdir(parents=True, exist_ok=True)
     with open(search / "hit_seqs.out", "w") as fh:
-        for n in names:
+        for n in names + lin_names:
             fh.write(f"{n}\t8\n")
     with open(search / "node_scores.out", "w") as fh:
         for n in contigs:
             fh.write(f"{n}\t{0.95 if n != bact else 0.05}\n")
 
     db = root / "phagedb.fasta"
-    write_fasta(db, [("phageP", phage), ("decoy1", _seq(15000)), ("decoy2", _seq(15000))])
+    write_fasta(db, [("phageP", phage), ("phageQ", phage2),
+                     ("decoy1", _seq(15000)), ("decoy2", _seq(15000))])
     protein_dir = root / "protein_db"
     protein_dir.mkdir(exist_ok=True)
     (protein_dir / "proteins.fasta").write_text(">prot1\nMAAAKKK\n")
