@@ -44,17 +44,22 @@ def _device_healthy(timeout_s: float = 90.0) -> bool:
 
 def main() -> None:
     note = None
-    if not os.environ.get("PALACE_BENCH_FORCE_CPU"):
-        if not _device_healthy():
-            # Re-exec on CPU so the judge still gets a number (flagged).
-            os.environ["PALACE_BENCH_FORCE_CPU"] = "1"
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
-    else:
+    if os.environ.get("PALACE_BENCH_CPU_FALLBACK"):
+        # marker set by the watchdog re-exec below — a real TPU failure
         note = "tpu_unavailable_cpu_fallback"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("PALACE_BENCH_FORCE_CPU"):
+        # user explicitly benchmarking on CPU — no failure note
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif not _device_healthy():
+        # Re-exec on CPU so the judge still gets a number (flagged).
+        os.environ["PALACE_BENCH_CPU_FALLBACK"] = "1"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
     import jax
     import jax.numpy as jnp

@@ -19,20 +19,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-if os.environ.get("PALACE_BENCH_FORCE_CPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+from _common import fetch as _fetch, force_cpu_if_requested
 
-    jax.config.update("jax_platforms", "cpu")
-else:
-    import jax
+jax = force_cpu_if_requested()
 
 import jax.numpy as jnp
-
-
-def _fetch(x):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[-1])).ravel()[:1]
 
 
 def main():

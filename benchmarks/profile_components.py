@@ -16,25 +16,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-if os.environ.get("PALACE_BENCH_FORCE_CPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+from _common import fetch as _fetch, force_cpu_if_requested
 
-    jax.config.update("jax_platforms", "cpu")
-else:
-    import jax
+jax = force_cpu_if_requested()
 
 import jax.numpy as jnp
-
-
-def _fetch(r):
-    """Force real completion.  Under the axon TPU relay
-    ``block_until_ready`` acks dispatch without waiting, so the only
-    honest sync is a device-to-host copy; the device executes in-order,
-    so fetching the LAST queued output waits for everything before it."""
-    leaf = jax.tree_util.tree_leaves(r)[-1]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
 
 
 def timeit(fn, *args, warmup=2, iters=20):

@@ -55,12 +55,33 @@ struct Handle {
     int ratio = 100;
     int k = 32;
     bool eof = false;
+    bool err = false;   // zlib/IO error (NOT the same as EOF)
     bool last_cr = false;  // last raw seq byte was '\r' (CRLF strip)
 };
 
+bool gz_failed(gzFile f, int n) {
+    // corrupt/truncated gzip: gzread returns -1 (data error) or a short
+    // count followed by 0 with gzerror != Z_OK (premature EOF).
+    if (n < 0) return true;
+    if (n == 0) {
+        int errnum = Z_OK;
+        gzerror(f, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) return true;
+        // plain-file premature truncation cannot be detected here;
+        // gzeof(f)==0 at n==0 also indicates an error path
+        if (!gzeof(f)) return true;
+    }
+    return false;
+}
+
 bool fill(Handle* h) {
     int n = gzread(h->f, h->buf.data(), (unsigned)h->buf.size());
-    if (n <= 0) {
+    if (gz_failed(h->f, n)) {
+        h->err = true;
+        h->eof = true;
+        return false;
+    }
+    if (n == 0) {
         h->eof = true;
         return false;
     }
@@ -79,8 +100,18 @@ bool keep_read(uint64_t idx, int ratio) {
 // `batch` rows goes to h->pending.  Returns the updated row count.
 int emit_read(Handle* h, const uint8_t* codes, size_t n, uint8_t* out,
               int batch, int maxlen, int row) {
+    if (n == 0) {  // empty read: one all-pad row (Python-parity)
+        if (row < batch) {
+            memset(out + (size_t)row * (size_t)maxlen, 4, (size_t)maxlen);
+            return row + 1;
+        }
+        size_t old = h->pending.size();
+        h->pending.resize(old + (size_t)maxlen);
+        memset(h->pending.data() + old, 4, (size_t)maxlen);
+        return row;
+    }
     size_t stride = (size_t)maxlen - (size_t)(h->k - 1);
-    if ((int)n <= maxlen) stride = n ? n : 1;  // single row
+    if ((int)n <= maxlen) stride = n;  // single row
     for (size_t off = 0; off < n; off += stride) {
         size_t m = n - off;
         if (m > (size_t)maxlen) m = (size_t)maxlen;
@@ -188,6 +219,7 @@ long fqc_next_batch(void* vh, uint8_t* out, int batch, int maxlen) {
         h->seq.clear();
         h->phase = 2;
     }
+    if (h->err) return -1;
     return row;
 }
 
@@ -212,7 +244,11 @@ double fqc_count_bases(const char* path) {
     bool cr = false;
     for (;;) {
         int n = gzread(f, buf.data(), (unsigned)buf.size());
-        if (n <= 0) break;
+        if (gz_failed(f, n)) {  // corrupt gzip → error, not a short count
+            gzclose(f);
+            return -1.0;
+        }
+        if (n == 0) break;
         size_t pos = 0, len = (size_t)n;
         while (pos < len) {
             const char* start = buf.data() + pos;

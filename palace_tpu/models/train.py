@@ -127,13 +127,14 @@ def fit(
         label_shard = data_sharding(mesh, 1)
 
     rng = np.random.default_rng(seed)
+    host_step = int(jax.device_get(state.step))
     losses = []
     for _ in range(epochs):
         order = rng.permutation(n)
         epoch_losses = []
         for i in range(0, n, batch_size):
             idx = order[i : i + batch_size]
-            if len(idx) < batch_size:  # keep one jit shape: wrap around
+            while len(idx) < batch_size:  # keep one jit shape: wrap around
                 idx = np.concatenate([idx, order[: batch_size - len(idx)]])
             xb = jnp.asarray(np.asarray(features)[idx])
             yb = jnp.asarray(np.asarray(labels)[idx].astype(np.int32))
@@ -146,8 +147,8 @@ def fit(
                 state, x_p, x_f, yb, dkey, cfg, learning_rate
             )
             epoch_losses.append(loss)
-            if ckpt_dir is not None and ckpt_every and \
-                    int(jax.device_get(state.step)) % ckpt_every == 0:
+            host_step += 1  # mirrors state.step without a device sync
+            if ckpt_dir is not None and ckpt_every and host_step % ckpt_every == 0:
                 from palace_tpu.models.checkpoint import save_train_state
 
                 save_train_state(ckpt_dir, state)

@@ -42,9 +42,7 @@ def bucket_len(n: int, minimum: int = 4096) -> int:
     distinct reference length; padding waste ≤ 50 %."""
     if n <= minimum:
         return minimum
-    p = 1 << (int(n - 1).bit_length() - 1)  # largest power of two < n... or == n
-    if n <= p:
-        return p
+    p = 1 << (int(n - 1).bit_length() - 1)  # largest power of two < n
     if n <= p + p // 2:
         return p + p // 2
     return 2 * p

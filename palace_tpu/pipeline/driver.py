@@ -316,6 +316,12 @@ class PalacePipeline:
         # shared inputs).  Thread pool: the heavy parts are external
         # RagTag/BLAST subprocesses, which release the GIL.
         workers = min(len(subgraphs), max(1, int(cfg.threads)))
+        # shared lazy artifacts must exist BEFORE workers race on them
+        if workers > 1 and file_exists_with_content(fasta):
+            if not Path(str(fasta) + ".fai").exists():
+                build_fai(fasta)
+        # divide the per-process BLAST thread budget among workers
+        self._blast_threads = max(1, int(cfg.threads) // workers)
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -413,7 +419,8 @@ class PalacePipeline:
         scaffold_blast = Path(str(scaffold_fa) + ".blast")
         if external.run_makeblastdb(ref_fasta, ref_fasta):
             external.run_blastn(scaffold_fa, ref_fasta, scaffold_blast,
-                                cfg.threads, external.OUTFMT_B)
+                                getattr(self, "_blast_threads", cfg.threads),
+                                external.OUTFMT_B)
         else:
             # degrade: fabricate full-coverage hits so filter_by_blast can
             # operate — only used when blast is absent (tests/dev)

@@ -104,3 +104,29 @@ def test_downsample_ratio_uses_native(tmp_path):
     fq = tmp_path / "d.fastq"
     _mk_fastq(fq, seqs)
     assert compute_downsample_ratio(fq, 2000) == 10
+
+
+def test_empty_read_parity(tmp_path):
+    """Zero-length sequences (adapter-trimmed reads) must produce the
+    same all-pad row in both readers."""
+    fq = tmp_path / "e.fastq"
+    fq.write_text("@r0\nACGTACGTACGTACGTACGTACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII\n@r1\n\n+\n\n@r2\nACGT\n+\nIIII\n")
+    want = _collect(_py_read_batches(fq, 8, 160, 100, 32))
+    got = _collect(fastq_native.native_batches(fq, 8, 160, 100, 32))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape[0] == 3
+
+
+def test_corrupt_gzip_raises(tmp_path):
+    """A truncated .gz must raise, not silently yield partial data."""
+    import gzip as _gzip
+
+    seqs = _seqs(200, [150])
+    good = tmp_path / "g.fastq.gz"
+    _mk_fastq(good, seqs)
+    bad = tmp_path / "bad.fastq.gz"
+    data = good.read_bytes()
+    bad.write_bytes(data[: len(data) // 2])  # truncate mid-stream
+    with pytest.raises(RuntimeError):
+        _collect(fastq_native.native_batches(bad, 64, 160, 100, 32))
+    assert fastq_native.count_bases(bad) is None
