@@ -23,14 +23,15 @@ def _cmd_score(args) -> int:
     import jax
 
     from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params, load_torch_state_dict
-    from palace_tpu.models.scoring import score_fasta
+    from palace_tpu.models.scoring import resolve_dtype, score_fasta
 
     if args.model:
         params = load_torch_state_dict(args.model)
     else:
         params = init_params(jax.random.PRNGKey(0), DEFAULT_CONFIG)
         print("warning: no --model; scoring with random weights", file=sys.stderr)
-    score_fasta(params, args.fasta, args.out, batch_size=args.batch)
+    score_fasta(params, args.fasta, args.out, batch_size=args.batch,
+                dtype=resolve_dtype(args.dtype))
     return 0
 
 
@@ -94,6 +95,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("out")
     p.add_argument("--model", default="")
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dtype", default="float32",
+                   help="device compute dtype: float32 (default) or bfloat16")
     p.set_defaults(fn=_cmd_score)
 
     p = sub.add_parser("eref", help="k-mer reference search (bin/eref)")

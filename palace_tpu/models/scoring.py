@@ -35,6 +35,20 @@ from palace_tpu.utils.timers import GLOBAL_METRICS
 logger = get_logger("palace")
 
 
+def resolve_dtype(name: Optional[str]):
+    """Config dtype string → jnp dtype, or None for the f32 default
+    (no cast, params used as loaded)."""
+    if not name or name in ("float32", "f32", "fp32"):
+        return None
+    import jax.numpy as jnp
+
+    aliases = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+               "float16": jnp.float16, "f16": jnp.float16}
+    if name not in aliases:
+        raise ValueError(f"unsupported score dtype {name!r}")
+    return aliases[name]
+
+
 def _batches(items: Iterator[Tuple[str, str]], size: int) -> Iterator[List[Tuple[str, str]]]:
     chunk: List[Tuple[str, str]] = []
     for item in items:
@@ -53,14 +67,20 @@ def score_sequences(
     batch_size: int = 64,
     mesh=None,
     encode_fn=None,
+    dtype=None,
 ) -> List[Tuple[str, float]]:
     """Score (name, seq) pairs → (name, P(phage)).
 
     Batches are padded to ``batch_size`` (static shapes for jit); when
     a mesh is given the feature batch is sharded over its data axis.
+    ``dtype`` (e.g. ``jnp.bfloat16``) casts params once and each
+    feature batch — halves HBM weight traffic, which is what bounds
+    throughput at small batch (benchmarks/ANALYSIS.md).
     """
     if encode_fn is None:
         encode_fn = encode_batch
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
     if mesh is not None:
         # batches shard over the data axis → round batch up to a multiple
         ndata = mesh.shape.get("data", 1)
@@ -77,6 +97,8 @@ def score_sequences(
         if pad:
             seqs = seqs + ["A" * 4] * pad
         feats = encode_fn(seqs)
+        if dtype is not None:
+            feats = feats.astype(dtype)
         if mesh is not None:
             feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
         pending.append((names, phage_probabilities(params, feats, cfg)))
@@ -117,10 +139,12 @@ def score_fasta(
     batch_size: int = 64,
     mesh=None,
     encode_fn=None,
+    dtype=None,
 ) -> int:
     """Full stage: assembly FASTA → node_scores.out.  Returns #contigs."""
     scores = score_sequences(
-        params, list(iter_fasta(fasta_path)), cfg, batch_size, mesh, encode_fn
+        params, list(iter_fasta(fasta_path)), cfg, batch_size, mesh, encode_fn,
+        dtype=dtype,
     )
     write_scores(out_path, scores)
     logger.info("Scored %d contigs → %s", len(scores), out_path)

@@ -84,7 +84,7 @@ class PalacePipeline:
         import jax
 
         from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params, load_torch_state_dict
-        from palace_tpu.models.scoring import score_fasta
+        from palace_tpu.models.scoring import resolve_dtype, score_fasta
 
         if self.cfg.gcn_model and os.path.isfile(self.cfg.gcn_model):
             params = load_torch_state_dict(self.cfg.gcn_model)
@@ -96,6 +96,7 @@ class PalacePipeline:
         return score_fasta(
             params, fasta, out_path, DEFAULT_CONFIG,
             batch_size=self.cfg.score.batch_size, mesh=self.mesh,
+            dtype=resolve_dtype(self.cfg.score.dtype),
         )
 
     # ------------------------------------------------------------------

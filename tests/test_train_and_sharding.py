@@ -97,6 +97,41 @@ def test_score_fasta_stage(tmp_path, eight_devices):
     assert all(0.0 <= v <= 1.0 for v in scores.values())
 
 
+def test_bf16_scoring_parity():
+    """bf16 inference (the HBM-traffic lever, benchmarks/ANALYSIS.md)
+    stays close enough to f32 that the 0.7/0.9 pipeline gates are
+    stable away from the thresholds."""
+    from palace_tpu.models.scoring import resolve_dtype, score_sequences
+
+    assert resolve_dtype("float32") is None
+    assert resolve_dtype(None) is None
+    assert resolve_dtype("bf16") == jnp.bfloat16
+    with pytest.raises(ValueError):
+        resolve_dtype("int8")
+
+    rng = np.random.default_rng(5)
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    named = [
+        (f"c{i}", "".join(rng.choice(list("ACGT"), size=300))) for i in range(9)
+    ]
+
+    def tiny_encoder(batch):
+        feats = np.zeros((len(batch), CFG.hidden_dim * CFG.pnode_num), np.float32)
+        for i, s in enumerate(batch):
+            h = np.frombuffer(s.encode()[: feats.shape[1]], dtype=np.uint8)
+            feats[i, : h.size] = h / 100.0
+        return jnp.asarray(feats)
+
+    f32 = dict(score_sequences(params, named, CFG, batch_size=4, encode_fn=tiny_encoder))
+    bf16 = dict(
+        score_sequences(params, named, CFG, batch_size=4, encode_fn=tiny_encoder,
+                        dtype=jnp.bfloat16)
+    )
+    assert f32.keys() == bf16.keys()
+    for k in f32:
+        assert abs(f32[k] - bf16[k]) < 0.05, (k, f32[k], bf16[k])
+
+
 def test_write_read_scores_roundtrip(tmp_path):
     p = tmp_path / "s.out"
     write_scores(p, [("a", 0.25), ("b", 1e-9)])
