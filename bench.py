@@ -21,11 +21,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def _device_healthy(timeout_s: float = 90.0) -> bool:
+def _device_healthy(timeout_s: float = 300.0) -> bool:
     """Probe that the default device actually completes work: under the
     axon relay a wedged remote chip accepts programs but never finishes
     them, which would hang the benchmark forever.  Runs a tiny reduction
-    in a daemon thread and waits at most ``timeout_s``."""
+    in a daemon thread and waits at most ``timeout_s``.  The budget is
+    generous because cold backend bring-up through the relay alone has
+    been measured at ~87 s before the first op completes."""
     import threading
 
     ok = []
@@ -64,13 +66,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params, model_inputs_from_features, forward
-    from palace_tpu.ops.encoder import encode_batch
+    from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params
+    from palace_tpu.models.scoring import _score_codes, pack_batch
 
     cfg = DEFAULT_CONFIG
     dtype = jnp.bfloat16 if os.environ.get("PALACE_BENCH_DTYPE") == "bf16" else jnp.float32
     batch = int(os.environ.get("PALACE_BENCH_BATCH", "64"))
-    n_contigs = int(os.environ.get("PALACE_BENCH_CONTIGS", "256"))
+    n_contigs = int(os.environ.get("PALACE_BENCH_CONTIGS", "2048"))
     contig_len = int(os.environ.get("PALACE_BENCH_LEN", "10000"))
 
     rng = np.random.default_rng(0)
@@ -80,17 +82,19 @@ def main() -> None:
 
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
-    @jax.jit
-    def score(params, feats):
-        x_p, x_f = model_inputs_from_features(feats.astype(dtype), cfg)
-        return forward(params, x_p, x_f, cfg)[:, 1]
+    def score(chunk):
+        # fused single-dispatch path: host ships 2-bit-packed base codes
+        # (2.5 KB/contig vs 40 KB of padded int32 locs — the relay wire,
+        # not the MXU, is the scarce resource on tunneled devices)
+        packed, n_codes, lens = pack_batch(chunk)
+        return _score_codes(params, jnp.asarray(packed), jnp.asarray(n_codes),
+                            jnp.asarray(lens), cfg, dtype)
 
     # warmup / compile.  NOTE: under the axon TPU relay
     # block_until_ready acks dispatch without waiting; the device
     # executes in-order, so we queue every batch and force completion
     # with ONE device-to-host fetch of the last output.
-    warm = encode_batch(seqs[:batch])
-    np.asarray(score(params, warm))
+    np.asarray(score(seqs[:batch]))
 
     import contextlib
 
@@ -106,8 +110,7 @@ def main() -> None:
             chunk = seqs[i : i + batch]
             if len(chunk) < batch:
                 chunk = chunk + seqs[: batch - len(chunk)]
-            feats = encode_batch(chunk)
-            last = score(params, feats)
+            last = score(chunk)
             done += batch
         np.asarray(last)  # sync: waits for all queued device work
     dt = time.perf_counter() - t0

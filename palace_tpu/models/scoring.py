@@ -27,7 +27,12 @@ from palace_tpu.models.gcn import (
     model_inputs_from_features,
     phage_probabilities,
 )
-from palace_tpu.ops.encoder import encode_batch
+from palace_tpu.ops.encoder import (
+    encode_batch,
+    features_from_packed,
+    pack_codes,
+    seqs_to_code_batch,
+)
 from palace_tpu.parallel.mesh import data_sharding
 from palace_tpu.utils.logging import get_logger
 from palace_tpu.utils.timers import GLOBAL_METRICS
@@ -47,6 +52,41 @@ def resolve_dtype(name: Optional[str]):
     if name not in aliases:
         raise ValueError(f"unsupported score dtype {name!r}")
     return aliases[name]
+
+
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _score_codes(params: Params, packed: jnp.ndarray, n_codes: jnp.ndarray,
+                 seq_lens: jnp.ndarray, cfg: GCNConfig, dtype=None) -> jnp.ndarray:
+    """Fused encode+score: ONE device dispatch per batch.  The host ships
+    2-bit-packed base codes (16× less transfer than int32 3-mer locs —
+    the wire, not the MXU, bounds throughput behind a device relay)."""
+    feats = features_from_packed(packed, n_codes, seq_lens)
+    if dtype is not None:
+        feats = feats.astype(dtype)
+    from palace_tpu.models.gcn import forward, model_inputs_from_features as _inputs
+
+    x_p, x_f = _inputs(feats, cfg)
+    return forward(params, x_p, x_f, cfg)[:, 1]
+
+
+def pack_batch(seqs: Sequence[str]):
+    """Host-side: sequences → (packed uint8, n_codes, orig_lens) arrays
+    ready for ``_score_codes``."""
+    codes, n_codes, lens = seqs_to_code_batch(seqs)
+    return pack_codes(codes), n_codes, lens
+
+
+def score_codes(params: Params, seqs: Sequence[str],
+                cfg: GCNConfig = DEFAULT_CONFIG, dtype=None) -> jax.Array:
+    """Score raw sequences via the fused packed path (single dispatch)."""
+    packed, n_codes, lens = pack_batch(seqs)
+    return _score_codes(params, jnp.asarray(packed), jnp.asarray(n_codes),
+                        jnp.asarray(lens), cfg, dtype)
 
 
 def _batches(items: Iterator[Tuple[str, str]], size: int) -> Iterator[List[Tuple[str, str]]]:
@@ -77,8 +117,7 @@ def score_sequences(
     feature batch — halves HBM weight traffic, which is what bounds
     throughput at small batch (benchmarks/ANALYSIS.md).
     """
-    if encode_fn is None:
-        encode_fn = encode_batch
+    fused = encode_fn is None
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
     if mesh is not None:
@@ -96,12 +135,24 @@ def score_sequences(
         pad = batch_size - len(seqs)
         if pad:
             seqs = seqs + ["A" * 4] * pad
-        feats = encode_fn(seqs)
-        if dtype is not None:
-            feats = feats.astype(dtype)
-        if mesh is not None:
-            feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
-        pending.append((names, phage_probabilities(params, feats, cfg)))
+        if fused:
+            # single dispatch: 2-bit-packed codes → encode → score
+            packed, n_codes, lens = pack_batch(seqs)
+            packed, n_codes, lens = (jnp.asarray(packed), jnp.asarray(n_codes),
+                                     jnp.asarray(lens))
+            if mesh is not None:
+                packed = jax.device_put(packed, data_sharding(mesh, packed.ndim))
+                n_codes = jax.device_put(n_codes, data_sharding(mesh, 1))
+                lens = jax.device_put(lens, data_sharding(mesh, 1))
+            probs = _score_codes(params, packed, n_codes, lens, cfg, dtype)
+        else:
+            feats = encode_fn(seqs)
+            if dtype is not None:
+                feats = feats.astype(dtype)
+            if mesh is not None:
+                feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
+            probs = phage_probabilities(params, feats, cfg)
+        pending.append((names, probs))
         n += len(names)
     results: List[Tuple[str, float]] = []
     for names, probs in pending:

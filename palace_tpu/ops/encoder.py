@@ -97,23 +97,76 @@ def _pad_to_multiple(n: int, m: int = 512) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
-def encode_batch(seqs: Sequence[str]) -> jnp.ndarray:
-    """Encode a batch of sequences into (B, 12288) features on device."""
-    locs_list = []
+def seqs_to_code_batch(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side: sequences → compact int8 base codes.
+
+    Returns ``(codes (B, L) int8 padded with 0, n_codes (B,) int32,
+    orig_lens (B,) int32)``.  Non-ACGT characters are compacted out on
+    the host (cheap numpy boolean select); the 3-mer codes are then
+    derived ON DEVICE from these 1-byte codes — 4× less host→device
+    traffic than shipping int32 3-mer locs, which matters when the
+    device sits behind a network relay.
+    """
+    code_list = []
     lens = []
     orig = []
     for s in seqs:
-        locs, n = seq_to_kmer_locs(s)
-        locs_list.append(locs)
-        lens.append(locs.size)
-        orig.append(n)
-    L = _pad_to_multiple(max(lens) if lens else 1)
-    padded = np.zeros((len(seqs), L), dtype=np.int32)
-    for i, locs in enumerate(locs_list):
-        padded[i, : locs.size] = locs
-    return transition_features(
-        padded, np.asarray(lens, dtype=np.int32), np.asarray(orig, dtype=np.int32)
-    )
+        raw = np.frombuffer(s.encode(), dtype=np.uint8)
+        codes = _BASE_LUT[raw]
+        codes = codes[codes != 255]
+        code_list.append(codes)
+        lens.append(codes.size)
+        orig.append(len(s))
+    L = _pad_to_multiple((max(lens) if lens else 1) + 2)
+    padded = np.zeros((len(seqs), L), dtype=np.int8)
+    for i, codes in enumerate(code_list):
+        padded[i, : codes.size] = codes
+    return padded, np.asarray(lens, dtype=np.int32), np.asarray(orig, dtype=np.int32)
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Host-side: (B, L) int8 base codes (L % 4 == 0) → (B, L//4) uint8,
+    4 bases per byte little-endian — 16× less host→device traffic than
+    the int32 3-mer locs this replaces."""
+    c = codes.astype(np.uint8)
+    return c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4) | (c[:, 3::4] << 6)
+
+
+def unpack_codes(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of ``pack_codes``: (B, P) uint8 → (B, 4P) int32."""
+    p = packed.astype(jnp.int32)
+    parts = jnp.stack([(p >> (2 * i)) & 3 for i in range(4)], axis=2)
+    return parts.reshape(p.shape[0], p.shape[1] * 4)
+
+
+def features_from_packed(packed: jnp.ndarray, n_codes: jnp.ndarray,
+                         seq_lens: jnp.ndarray) -> jnp.ndarray:
+    """Device-side fused encode from 2-bit-packed base codes."""
+    return features_from_codes(unpack_codes(packed), n_codes, seq_lens)
+
+
+def locs_from_codes(codes: jnp.ndarray, n_codes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side: (B, L) int8 base codes → (B, L-2) int32 3-mer codes
+    + (B,) valid-loc counts.  Matches ``seq_to_kmer_locs`` exactly."""
+    c = codes.astype(jnp.int32)
+    locs = c[:, :-2] * 16 + c[:, 1:-1] * 4 + c[:, 2:]
+    n_locs = jnp.maximum(n_codes - (K - 1), 0)
+    return locs, n_locs
+
+
+def features_from_codes(codes: jnp.ndarray, n_codes: jnp.ndarray,
+                        seq_lens: jnp.ndarray) -> jnp.ndarray:
+    """Device-side fused encode: int8 base codes → (B, 12288) features.
+    Traceable (jit-safe); composes into a single-dispatch scorer."""
+    locs, n_locs = locs_from_codes(codes, n_codes)
+    return transition_features(locs, n_locs, seq_lens)
+
+
+def encode_batch(seqs: Sequence[str]) -> jnp.ndarray:
+    """Encode a batch of sequences into (B, 12288) features on device."""
+    codes, n_codes, orig = seqs_to_code_batch(seqs)
+    return features_from_codes(jnp.asarray(codes), jnp.asarray(n_codes),
+                               jnp.asarray(orig))
 
 
 def encode_sequences(seqs: Iterable[str], batch_size: int = 64) -> np.ndarray:

@@ -55,6 +55,48 @@ def test_kmer_locs_drop_non_acgt():
     assert locs.tolist() == [0 * 16 + 1 * 4 + 2, 1 * 16 + 2 * 4 + 3]
 
 
+def test_packed_fused_path_matches_reference_loop():
+    """The 2-bit-packed single-dispatch encode path (pack_codes →
+    unpack_codes → locs_from_codes on device) must reproduce the
+    reference Cython loop exactly, junk characters included."""
+    import jax.numpy as jnp
+
+    from palace_tpu.ops.encoder import (
+        features_from_packed,
+        pack_codes,
+        seqs_to_code_batch,
+    )
+
+    seqs = [
+        _random_seq(300, with_junk=True),
+        _random_seq(77),
+        "AC",  # shorter than K
+        _random_seq(513),  # crosses the 512 pad boundary
+    ]
+    codes, n_codes, lens = seqs_to_code_batch(seqs)
+    got = np.asarray(
+        features_from_packed(jnp.asarray(pack_codes(codes)),
+                             jnp.asarray(n_codes), jnp.asarray(lens))
+    )
+    for i, s in enumerate(seqs):
+        want = reference_matrix_encoding(s)
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_score_codes_matches_feature_path():
+    """Fused packed scorer == encode_batch + phage_probabilities."""
+    from palace_tpu.models.scoring import score_codes
+
+    cfg = GCNConfig()
+    import jax
+
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    seqs = [_random_seq(150, with_junk=True) for _ in range(4)]
+    want = np.asarray(phage_probabilities(params, encode_batch(seqs), cfg))
+    got = np.asarray(score_codes(params, seqs, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # model oracle (PyG SAGEConv semantics on the explicit edge template)
 # ---------------------------------------------------------------------------
