@@ -70,8 +70,11 @@ def main() -> None:
     from palace_tpu.models.scoring import _score_codes, pack_batch
 
     cfg = DEFAULT_CONFIG
-    dtype = jnp.bfloat16 if os.environ.get("PALACE_BENCH_DTYPE") == "bf16" else jnp.float32
-    batch = int(os.environ.get("PALACE_BENCH_BATCH", "64"))
+    # bf16 weights + batch 256 is the serving sweet spot on v5e — the
+    # model is HBM-weight-bound at small batch (benchmarks/ANALYSIS.md);
+    # scores match f32 to ~1e-2 (bf16 parity test in tests/test_gcn.py)
+    dtype = jnp.float32 if os.environ.get("PALACE_BENCH_DTYPE") == "f32" else jnp.bfloat16
+    batch = int(os.environ.get("PALACE_BENCH_BATCH", "256"))
     n_contigs = int(os.environ.get("PALACE_BENCH_CONTIGS", "2048"))
     contig_len = int(os.environ.get("PALACE_BENCH_LEN", "10000"))
 

@@ -33,6 +33,7 @@ constraints — properties the tests assert.
 """
 from __future__ import annotations
 
+import heapq
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -192,12 +193,30 @@ class _Solver:
             cap = min(self.copies.get(j.left, 1), self.copies.get(j.right, 1))
             self.budget[link] = max(self.budget.get(link, 0), cap)
 
-        # adjacency: oriented node -> [(link, forward?)]
+        # adjacency: oriented node -> [(link, forward?)], pre-sorted by
+        # descending weight so _next_from never re-sorts
         self.adj: Dict[Tuple[str, str], List[Tuple[Link, bool]]] = {}
         for link in self.weights:
             self.adj.setdefault((link.left, link.lo), []).append((link, True))
             conj = link.conjugate_tuple()
             self.adj.setdefault((conj[0], conj[1]), []).append((link, False))
+        for lst in self.adj.values():
+            lst.sort(key=lambda lf: (-self.weights[lf[0]], lf[0].left, lf[0].lo,
+                                     lf[0].right, lf[0].ro))
+
+        # start-link priority heap.  Budgets, end slots and visit counts
+        # only ever DECREASE, so once a link fails the start criteria it
+        # fails forever — lazy deletion from a heap is exact, turning the
+        # per-walk full rescan into amortised O(log n).
+        self._start_heap: List[Tuple[float, str, str, str, str]] = [
+            (-w, link.left, link.lo, link.right, link.ro)
+            for link, w in self.weights.items()
+        ]
+        heapq.heapify(self._start_heap)
+        self._heap_links: Dict[Tuple[float, str, str, str, str], Link] = {
+            (-w, link.left, link.lo, link.right, link.ro): link
+            for link, w in self.weights.items()
+        }
 
     # ------------------------------------------------------------------
     def _use_link(self, link: Link) -> None:
@@ -217,10 +236,7 @@ class _Solver:
         """Best usable outgoing link from an oriented node (the target
         must still have a free visit)."""
         best = None
-        for link, fwd in sorted(
-            self.adj.get(node, []),
-            key=lambda lf: (-self.weights[lf[0]], lf[0].left, lf[0].lo, lf[0].right, lf[0].ro),
-        ):
+        for link, fwd in self.adj.get(node, []):
             if not self._link_usable(link):
                 continue
             if fwd:
@@ -234,26 +250,27 @@ class _Solver:
             break
         return best
 
+    def _start_usable(self, link: Link) -> bool:
+        if not self._link_usable(link):
+            return False
+        if link.left == link.right and link.lo != link.ro:
+            # inverted self-repeat places two copies of the segment
+            return self.visits_free.get(link.left, 0) >= 2
+        return (
+            self.visits_free.get(link.left, 0) > 0
+            and self.visits_free.get(link.right, 0) > 0
+        )
+
     def _start_link(self) -> Optional[Link]:
-        best = None
-        best_key = None
-        for link, w in self.weights.items():
-            if not self._link_usable(link):
-                continue
-            if link.left == link.right and link.lo != link.ro:
-                # inverted self-repeat places two copies of the segment
-                if self.visits_free.get(link.left, 0) < 2:
-                    continue
-            elif (
-                self.visits_free.get(link.left, 0) <= 0
-                or self.visits_free.get(link.right, 0) <= 0
-            ):
-                continue
-            key = (-w, link.left, link.lo, link.right, link.ro)
-            if best_key is None or key < best_key:
-                best_key = key
-                best = link
-        return best
+        heap = self._start_heap
+        while heap:
+            link = self._heap_links[heap[0]]
+            if self._start_usable(link):
+                # leave it on the heap: with budget > 1 it may start
+                # another walk; it's popped once it turns unusable
+                return link
+            heapq.heappop(heap)
+        return None
 
     # ------------------------------------------------------------------
     def solve(self) -> MatchingResult:
