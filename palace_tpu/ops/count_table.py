@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from palace_tpu.ops.kmer import kmer_hashes_traced, perm_to_key, unpack_codes_mask
+
 
 def _sorted_run_lengths(
     hashes: jnp.ndarray, valid: jnp.ndarray
@@ -64,9 +66,8 @@ def _sorted_run_lengths(
     return s, total
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _update_table_set(table: jnp.ndarray, hashes: jnp.ndarray,
-                      valid: jnp.ndarray, cap: int) -> jnp.ndarray:
+def _update_set_traced(table: jnp.ndarray, hashes: jnp.ndarray,
+                       valid: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Exact saturating update as ONE gather + ONE scatter-set.
 
     Every member of a sorted run writes the identical value
@@ -80,6 +81,23 @@ def _update_table_set(table: jnp.ndarray, hashes: jnp.ndarray,
         old.astype(jnp.int32) + total, jnp.int32(cap)
     ).astype(jnp.uint8)
     return table.at[s].set(newv, mode="drop", indices_are_sorted=True)
+
+
+_update_table_set = jax.jit(_update_set_traced, static_argnames=("cap",))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "perm_key", "k"),
+                   donate_argnums=(0,))
+def _update_table_packed(table: jnp.ndarray, packed: jnp.ndarray,
+                         mask: jnp.ndarray, cap: int,
+                         perm_key, k: int) -> jnp.ndarray:
+    """Fused Phase-A batch update: 2-bit-packed codes + invalid bitmask
+    → unpack → 3-coder hashes → saturating table update, all in ONE
+    dispatch with the table buffer donated (no second 2^bits copy in
+    HBM, no extra relay round-trips)."""
+    codes = unpack_codes_mask(packed, mask)
+    hashes, valid = kmer_hashes_traced(codes, perm_key, k)
+    return _update_set_traced(table, hashes, valid, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -138,6 +156,17 @@ class CountTable:
             valid = jnp.ones(hashes.shape, bool)
         return CountTable(_update_table(self.table, hashes, valid, self.cap), self.k, self.cap)
 
+    def add_packed(self, packed: np.ndarray, mask: np.ndarray,
+                   perm: np.ndarray, kmer_k: int) -> "CountTable":
+        """Fused single-dispatch update from wire-packed codes (see
+        kmer.pack_codes_mask).  DONATES the current table buffer — the
+        receiver object must not be used after this call."""
+        new = _update_table_packed(
+            self.table, jnp.asarray(packed), jnp.asarray(mask),
+            self.cap, perm_to_key(perm), kmer_k,
+        )
+        return CountTable(new, self.k, self.cap)
+
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:
         """Counts per hash; slot 0 always reads 0 (reference miss
         semantics, extract_ref.cpp:861-866)."""
@@ -168,45 +197,11 @@ class ShardedCountTable:
         return cls(table=table, k=k, mesh=mesh, cap=cap)
 
     def _shard_fns(self):
-        axes = tuple(self.mesh.axis_names)
         n_dev = int(np.prod(self.mesh.devices.shape))
-        shard_size = -(-(1 << self.k) // n_dev)
-        cap = self.cap
-
-        def _local_idx(hashes):
-            # device's linear index over the flattened mesh axes
-            dev = jnp.zeros((), jnp.uint32)
-            for ax in axes:
-                dev = dev * jnp.uint32(jax.lax.axis_size(ax)) + jax.lax.axis_index(
-                    ax
-                ).astype(jnp.uint32)
-            lo = dev * jnp.uint32(shard_size)
-            # all arithmetic in uint32: hashes < 2^32, lo ≤ (n_dev-1)·shard
-            local = hashes - lo
-            in_range = (hashes >= lo) & (local < jnp.uint32(shard_size))
-            idx = jnp.where(in_range, local, jnp.uint32(0))
-            return idx, in_range
-
-        def update_shard(table_shard, s, total):
-            # s is globally sorted with per-value totals (computed once,
-            # replicated); each shard rewrites only its hash range.
-            # Out-of-range entries target index shard_size (OOB → drop);
-            # duplicates within a run write identical values, so the
-            # scatter-set needs no combine.
-            idx, in_range = _local_idx(s)
-            old = table_shard[jnp.where(in_range, idx, 0)]
-            newv = jnp.minimum(
-                old.astype(jnp.int32) + total, jnp.int32(cap)
-            ).astype(jnp.uint8)
-            idx_s = jnp.where(in_range, idx, jnp.uint32(shard_size))
-            return table_shard.at[idx_s].set(newv, mode="drop")
-
-        def lookup_shard(table_shard, hashes):
-            idx, in_range = _local_idx(hashes)
-            part = jnp.where(in_range, table_shard[idx], 0).astype(jnp.int32)
-            return jax.lax.psum(part, axes)
-
-        return update_shard, lookup_shard, axes
+        return _make_shard_fns(
+            tuple(self.mesh.axis_names), n_dev,
+            -(-(1 << self.k) // n_dev), self.cap,
+        )
 
     def add_kmers(self, hashes: jnp.ndarray,
                   valid: Optional[jnp.ndarray] = None) -> "ShardedCountTable":
@@ -224,6 +219,16 @@ class ShardedCountTable:
         new_table = f(self.table, s, total)
         return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
 
+    def add_packed(self, packed: np.ndarray, mask: np.ndarray,
+                   perm: np.ndarray, kmer_k: int) -> "ShardedCountTable":
+        """Fused sharded update: the replicated unpack→hash→sort and the
+        per-shard masked scatter run in ONE jit; the table shards are
+        donated."""
+        f = _sharded_update_packed(
+            self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k)
+        new_table = f(self.table, jnp.asarray(packed), jnp.asarray(mask))
+        return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
+
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:
         _, lookup_shard, axes = self._shard_fns()
         shape = hashes.shape
@@ -237,3 +242,66 @@ class ShardedCountTable:
         counts = f(self.table, flat)
         counts = jnp.where(flat == 0, 0, counts)
         return counts.reshape(shape).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_shard_fns(axes, n_dev: int, shard_size: int, cap: int):
+    def _local_idx(hashes):
+        # device's linear index over the flattened mesh axes
+        dev = jnp.zeros((), jnp.uint32)
+        for ax in axes:
+            dev = dev * jnp.uint32(jax.lax.axis_size(ax)) + jax.lax.axis_index(
+                ax
+            ).astype(jnp.uint32)
+        lo = dev * jnp.uint32(shard_size)
+        # all arithmetic in uint32: hashes < 2^32, lo ≤ (n_dev-1)·shard
+        local = hashes - lo
+        in_range = (hashes >= lo) & (local < jnp.uint32(shard_size))
+        idx = jnp.where(in_range, local, jnp.uint32(0))
+        return idx, in_range
+
+    def update_shard(table_shard, s, total):
+        # s is globally sorted with per-value totals (computed once,
+        # replicated); each shard rewrites only its hash range.
+        # Out-of-range entries target index shard_size (OOB → drop);
+        # duplicates within a run write identical values, so the
+        # scatter-set needs no combine.
+        idx, in_range = _local_idx(s)
+        old = table_shard[jnp.where(in_range, idx, 0)]
+        newv = jnp.minimum(
+            old.astype(jnp.int32) + total, jnp.int32(cap)
+        ).astype(jnp.uint8)
+        idx_s = jnp.where(in_range, idx, jnp.uint32(shard_size))
+        return table_shard.at[idx_s].set(newv, mode="drop")
+
+    def lookup_shard(table_shard, hashes):
+        idx, in_range = _local_idx(hashes)
+        part = jnp.where(in_range, table_shard[idx], 0).astype(jnp.int32)
+        return jax.lax.psum(part, axes)
+
+    return update_shard, lookup_shard, axes
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_update_packed(mesh: Mesh, table_bits: int, cap: int,
+                           perm_key, kmer_k: int):
+    """One cached jit per (mesh, table, coder) config: replicated
+    unpack→hash→sort feeding the per-shard masked scatter, table
+    shards donated."""
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    update_shard, _, _ = _make_shard_fns(axes, n_dev,
+                                         -(-(1 << table_bits) // n_dev), cap)
+    spec_table = P(axes)
+    shard_update = jax.shard_map(
+        update_shard, mesh=mesh,
+        in_specs=(spec_table, P(), P()), out_specs=spec_table,
+    )
+
+    def f(table, packed, mask):
+        codes = unpack_codes_mask(packed, mask)
+        hashes, valid = kmer_hashes_traced(codes, perm_key, kmer_k)
+        s, total = _sorted_run_lengths(hashes, valid)
+        return shard_update(table, s, total)
+
+    return jax.jit(f, donate_argnums=(0,))

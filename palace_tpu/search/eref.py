@@ -22,18 +22,32 @@ coverage).
 """
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from palace_tpu.config import KmerParams
 from palace_tpu.io.fasta import iter_fastq
 from palace_tpu.ops.count_table import CountTable, ShardedCountTable
-from palace_tpu.ops.kmer import BASE_LUT, kmer_hashes
-from palace_tpu.ops.window import RefHit, scan_reference
+from palace_tpu.ops.kmer import (
+    BASE_LUT,
+    kmer_hashes,
+    kmer_hashes_traced,
+    pack_codes_mask,
+    perm_to_key,
+    unpack_codes_mask,
+)
+from palace_tpu.ops.window import (
+    RefHit,
+    good_windows,
+    scan_reference,
+    window_thresholds,
+)
 from palace_tpu.search.index import PhageIndex
 from palace_tpu.utils.logging import get_logger
 from palace_tpu.utils.timers import GLOBAL_METRICS
@@ -144,22 +158,66 @@ def count_reads_into_table(
             table = CountTable.create(params.k, params.least_depth)
     ratio = compute_downsample_ratio(fastq_files[0], params.down_sampling_size)
     logger.info("Down-sampling ratio is %d%%.", min(ratio, 100))
-    perm = jnp.asarray(index.perm)
     t0 = time.perf_counter()
     n_reads = 0
     maxlen = max(ROW_LEN, params.k)
+    maxlen += (-maxlen) % 8  # pack_codes_mask wants L % 8 == 0
     for fq in fastq_files:
         for codes in read_code_batches(fq, READ_BATCH, maxlen, ratio, params.k):
             n_reads += codes.shape[0]
             if codes.shape[0] < READ_BATCH:  # keep one jit shape
                 codes = np.pad(codes, ((0, READ_BATCH - codes.shape[0]), (0, 0)),
                                constant_values=4)
-            hashes, valid = kmer_hashes(jnp.asarray(codes), perm, params.k)
-            table = table.add_kmers(hashes, valid)
+            # wire-packed fused update: 2-bit codes + invalid bitmask,
+            # unpack→hash→table update in one dispatch (the tunneled
+            # chip is wire- and round-trip-bound; 3.6× fewer bytes)
+            packed, mask = pack_codes_mask(codes)
+            table = table.add_packed(packed, mask, index.perm, params.k)
     GLOBAL_METRICS.record(
         "eref.count_reads", time.perf_counter() - t0, items=n_reads, unit="reads"
     )
     return table
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target", "perm_key", "k", "window", "one_min",
+                     "three_min", "least_depth"),
+)
+def _scan_ref_fused(
+    table: jnp.ndarray,
+    packed_flat: jnp.ndarray,
+    mask_flat: jnp.ndarray,
+    code_off: jnp.ndarray,
+    mask_off: jnp.ndarray,
+    ref_len: jnp.ndarray,
+    *,
+    target: int,
+    perm_key,
+    k: int,
+    window: int,
+    one_min: int,
+    three_min: int,
+    least_depth: int,
+) -> jnp.ndarray:
+    """Phase B for one reference in ONE dispatch against the
+    device-resident packed DB: slice packed codes → unpack → 3-coder
+    hashes → count-table gather → good-window flags → bit-packed
+    result.  Wire cost ≈ target/8 bytes DOWN and three scalars UP —
+    the old path shipped 12 B/position of precomputed hashes up.
+    Compiles once per {2^n, 1.5·2^n} length bucket."""
+    pb = jax.lax.dynamic_slice(packed_flat, (code_off,), (target // 4,))
+    mb = jax.lax.dynamic_slice(mask_flat, (mask_off,), (target // 8,))
+    codes = unpack_codes_mask(pb[None, :], mb[None, :])  # (1, target)
+    # tail of the slice may hold the NEXT reference's bytes — mask it
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, target), 1)
+    codes = jnp.where(pos < ref_len, codes, 4)
+    h, valid = kmer_hashes_traced(codes, perm_key, k)  # (1, M, 3)
+    hashes = jnp.where(valid[0][:, None], h[0], 0)
+    hashes = jnp.pad(hashes, ((0, k - 1), (0, 0)))  # (target, 3)
+    counts = jnp.where(hashes == 0, jnp.uint8(0), table[hashes])
+    good = good_windows(counts, hashes, window, one_min, three_min, least_depth)
+    return jnp.packbits(good, bitorder="little")  # (target//8,) uint8
 
 
 def search_references(
@@ -168,33 +226,62 @@ def search_references(
     params: KmerParams,
 ) -> List[RefHit]:
     """Phase B: scan every reference against the table."""
-    from palace_tpu.ops.window import bucket_len
+    from palace_tpu.ops.window import bucket_len, intervals_from_good
 
     hits: List[RefHit] = []
     t0 = time.perf_counter()
-    for r in range(index.n_refs):
-        ref_hashes = np.asarray(index.ref_hashes(r))
-        if ref_hashes.shape[0] == 0:
-            continue
-        # pad to the length bucket before the device lookup so both the
-        # gather and the window scan compile once per bucket, not per ref
-        L = ref_hashes.shape[0]
-        target = bucket_len(max(L, int(index.lengths[r])))
-        padded = np.pad(ref_hashes, ((0, target - L), (0, 0)))
-        counts = table.lookup(jnp.asarray(padded))
-        hit = scan_reference(
-            counts,
-            padded,
-            ref_index=r + 1,  # 1-based FASTA record number
-            ref_len=int(index.lengths[r]),
-            window=params.window,
-            hit_ratio=params.hit_ratio,
-            perfect_hit_ratio=params.perfect_hit_ratio,
-            min_cover_ratio=params.min_cover_ratio,
-            least_depth=params.least_depth,
-        )
-        if hit is not None:
-            hits.append(hit)
+    if isinstance(table, CountTable):
+        # fused path: the whole packed DB lives on device for the scan
+        perm_key = perm_to_key(index.perm)
+        one_min, three_min = window_thresholds(
+            params.window, params.hit_ratio, params.perfect_hit_ratio)
+        targets = [bucket_len(int(L)) for L in index.lengths]
+        slack = max((t // 4 for t in targets), default=0)
+        packed_flat = jnp.asarray(np.pad(index.packed, (0, slack)))
+        mask_flat = jnp.asarray(np.pad(index.maskbits, (0, max((t // 8 for t in targets), default=0))))
+        for r in range(index.n_refs):
+            ref_len = int(index.lengths[r])
+            if ref_len < index.k:
+                continue  # no k-mers: the reference emits nothing
+            target = targets[r]
+            bits = _scan_ref_fused(
+                table.table, packed_flat, mask_flat,
+                jnp.int32(index.code_offsets[r]),
+                jnp.int32(index.mask_offsets[r]),
+                jnp.int32(ref_len),
+                target=target, perm_key=perm_key, k=index.k,
+                window=params.window, one_min=one_min, three_min=three_min,
+                least_depth=params.least_depth,
+            )
+            good = np.unpackbits(np.asarray(bits), bitorder="little")[:ref_len]
+            iv = intervals_from_good(good.astype(bool), ref_len, params.window)
+            el = sum(e - s for s, e in iv)
+            ratio = el / ref_len if ref_len else 0.0
+            if el > 0 and ratio > params.min_cover_ratio:
+                hits.append(RefHit(r + 1, len(iv), el, ref_len, ratio))
+    else:
+        # mesh-sharded table: per-ref hash materialisation + psum lookup
+        for r in range(index.n_refs):
+            ref_hashes = np.asarray(index.ref_hashes(r))
+            if ref_hashes.shape[0] == 0:
+                continue
+            L = ref_hashes.shape[0]
+            target = bucket_len(max(L, int(index.lengths[r])))
+            padded = np.pad(ref_hashes, ((0, target - L), (0, 0)))
+            counts = table.lookup(jnp.asarray(padded))
+            hit = scan_reference(
+                counts,
+                padded,
+                ref_index=r + 1,  # 1-based FASTA record number
+                ref_len=int(index.lengths[r]),
+                window=params.window,
+                hit_ratio=params.hit_ratio,
+                perfect_hit_ratio=params.perfect_hit_ratio,
+                min_cover_ratio=params.min_cover_ratio,
+                least_depth=params.least_depth,
+            )
+            if hit is not None:
+                hits.append(hit)
     GLOBAL_METRICS.record(
         "eref.scan_refs", time.perf_counter() - t0, items=index.n_refs, unit="refs"
     )

@@ -7,35 +7,46 @@ hash 0 for windows containing non-ACGT).  Differences by design:
 * the coder permutation comes from a fixed seed (config
   ``kmer.coder_seed``) instead of ``time(0)`` so index builds are
   reproducible (SURVEY.md §7 hard part b);
-* stored as a memory-mappable ``.npy`` (hashes) + ``.npz`` (meta)
-  pair instead of a bespoke binary stream;
+* the index stores 2-bit-packed base codes + a 1-bit invalid mask
+  (~0.28 B/base) instead of the reference's 12 B/position hash
+  stream — 43× smaller, so a whole phage DB stays resident in device
+  HBM and Phase B ships no per-reference data at all; the 3-coder
+  hashes are recomputed on device inside the fused scan (they are
+  cheap VPU work, extract_ref.cpp:858-870's table gather is the real
+  cost and that stays on device too);
+* index *build* is pure host byte-packing — no device round-trips —
+  so it is O(DB bytes) with a tiny constant;
 * reference indices are the 1-based FASTA record number — the
   interpretation get_ref_by_index.py:40-49 applies to the reference's
   output (identical when no record is shorter than k, which is the
   only regime where the reference's own numbering is self-consistent).
 
-Hash computation runs on device in fixed-size tiles with k−1 overlap,
-so multi-Mbp references stream through without dynamic shapes.
+``ref_hashes(r)`` (the old per-reference hash materialisation) is kept
+for oracle tests and the mesh-sharded lookup path.
 """
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from palace_tpu.io.fasta import iter_fasta
-from palace_tpu.ops.kmer import kmer_hashes, make_choose_coder, seq_to_codes
+from palace_tpu.ops.kmer import (
+    kmer_hashes,
+    make_choose_coder,
+    pack_codes_mask,
+    seq_to_codes,
+)
 from palace_tpu.utils.logging import get_logger
 from palace_tpu.utils.timers import StageTimer
 
 logger = get_logger("palace")
 
-TILE = 1 << 18  # 256 kb of reference per device batch
+TILE = 1 << 18  # 256 kb of reference per device batch (ref_hashes only)
 
 
 @dataclass
@@ -44,35 +55,48 @@ class PhageIndex:
     perm: np.ndarray            # (k, 3)
     names: List[str]
     lengths: np.ndarray         # (R,) int64 reference lengths
-    offsets: np.ndarray         # (R+1,) int64 row offsets into hashes
-    hashes: np.ndarray          # (total_rows, 3) uint32 (may be a memmap)
-
-    def ref_hashes(self, r: int) -> np.ndarray:
-        return self.hashes[self.offsets[r] : self.offsets[r + 1]]
+    code_offsets: np.ndarray    # (R+1,) int64 byte offsets into ``packed``
+    mask_offsets: np.ndarray    # (R+1,) int64 byte offsets into ``maskbits``
+    packed: np.ndarray          # flat uint8: 4 bases/byte, refs byte-aligned
+    maskbits: np.ndarray        # flat uint8: 8 positions/byte invalid bits
 
     @property
     def n_refs(self) -> int:
         return len(self.names)
 
+    def ref_codes(self, r: int) -> np.ndarray:
+        """(L,) uint8 base codes 0..4 of reference ``r`` (host unpack)."""
+        L = int(self.lengths[r])
+        pb = self.packed[self.code_offsets[r] : self.code_offsets[r + 1]]
+        mb = self.maskbits[self.mask_offsets[r] : self.mask_offsets[r + 1]]
+        codes = np.empty(pb.shape[0] * 4, dtype=np.uint8)
+        for i in range(4):
+            codes[i::4] = (pb >> (2 * i)) & 3
+        inv = np.unpackbits(mb, bitorder="little")[: codes.shape[0]].astype(bool)
+        codes[inv] = 4
+        return codes[:L]
 
-def _hash_paths(fasta_path: str | Path, k: int) -> Tuple[Path, Path]:
-    base = Path(str(fasta_path) + f".k{k}.palace")
-    return Path(str(base) + ".hash.npy"), Path(str(base) + ".meta.npz")
+    def ref_hashes(self, r: int) -> np.ndarray:
+        """(M, 3) canonical hashes of reference ``r`` (computed on
+        demand, device-tiled; invalid windows → 0)."""
+        return compute_hashes_for_codes(self.ref_codes(r), self.perm, self.k)
 
 
-def compute_hashes_for_seq(seq: str, perm: np.ndarray, k: int) -> np.ndarray:
-    """Canonical (M, 3) hashes for one sequence, tiled on device;
+def _index_path(fasta_path: str | Path, k: int) -> Path:
+    return Path(str(fasta_path) + f".k{k}.palace.npz")
+
+
+def compute_hashes_for_codes(codes: np.ndarray, perm: np.ndarray, k: int) -> np.ndarray:
+    """Canonical (M, 3) hashes for one code sequence, tiled on device;
     invalid windows → 0 (extract_ref.cpp:793-796)."""
-    codes = seq_to_codes(seq)
     L = codes.shape[0]
     M = L - k + 1
     if M <= 0:
         return np.zeros((0, 3), np.uint32)
     perm_j = jnp.asarray(perm)
     chunks = []
-    step = TILE
-    for start in range(0, M, step):
-        stop = min(start + step, M)
+    for start in range(0, M, TILE):
+        stop = min(start + TILE, M)
         tile = codes[start : stop + k - 1][None, :]
         h, valid = kmer_hashes(jnp.asarray(tile), perm_j, k)
         h = np.array(h[0])  # writable copy off-device
@@ -82,31 +106,44 @@ def compute_hashes_for_seq(seq: str, perm: np.ndarray, k: int) -> np.ndarray:
     return np.concatenate(chunks, axis=0)
 
 
+def compute_hashes_for_seq(seq: str, perm: np.ndarray, k: int) -> np.ndarray:
+    return compute_hashes_for_codes(seq_to_codes(seq), perm, k)
+
+
 def build_index(
     fasta_path: str | Path, k: int = 32, coder_seed: int = 1, save: bool = True
 ) -> PhageIndex:
     perm = make_choose_coder(k, coder_seed)
     names: List[str] = []
     lengths: List[int] = []
-    offsets: List[int] = [0]
-    parts: List[np.ndarray] = []
+    code_offsets: List[int] = [0]
+    mask_offsets: List[int] = [0]
+    packed_parts: List[np.ndarray] = []
+    mask_parts: List[np.ndarray] = []
     with StageTimer("eref.index_build", unit="refs"):
         for name, seq in iter_fasta(fasta_path):
             names.append(name)
             lengths.append(len(seq))
-            h = compute_hashes_for_seq(seq, perm, k)
-            parts.append(h)
-            offsets.append(offsets[-1] + h.shape[0])
-    hashes = (
-        np.concatenate(parts, axis=0) if parts else np.zeros((0, 3), np.uint32)
-    )
+            codes = seq_to_codes(seq)
+            pad = (-codes.shape[0]) % 8
+            if pad:
+                codes = np.pad(codes, (0, pad), constant_values=4)
+            pb, mb = pack_codes_mask(codes[None, :])
+            packed_parts.append(pb[0])
+            mask_parts.append(mb[0])
+            code_offsets.append(code_offsets[-1] + pb.shape[1])
+            mask_offsets.append(mask_offsets[-1] + mb.shape[1])
     index = PhageIndex(
         k=k,
         perm=perm,
         names=names,
         lengths=np.asarray(lengths, np.int64),
-        offsets=np.asarray(offsets, np.int64),
-        hashes=hashes,
+        code_offsets=np.asarray(code_offsets, np.int64),
+        mask_offsets=np.asarray(mask_offsets, np.int64),
+        packed=(np.concatenate(packed_parts) if packed_parts
+                else np.zeros(0, np.uint8)),
+        maskbits=(np.concatenate(mask_parts) if mask_parts
+                  else np.zeros(0, np.uint8)),
     )
     if save:
         save_index(fasta_path, index)
@@ -114,33 +151,36 @@ def build_index(
 
 
 def save_index(fasta_path: str | Path, index: PhageIndex) -> None:
-    hash_path, meta_path = _hash_paths(fasta_path, index.k)
-    np.save(hash_path, index.hashes)
+    path = _index_path(fasta_path, index.k)
     np.savez(
-        meta_path,
+        path,
         k=np.int64(index.k),
         perm=index.perm,
         names=np.asarray(index.names),
         lengths=index.lengths,
-        offsets=index.offsets,
+        code_offsets=index.code_offsets,
+        mask_offsets=index.mask_offsets,
+        packed=index.packed,
+        maskbits=index.maskbits,
     )
-    logger.info("Saved k-mer index: %s (%d refs, %d rows)",
-                hash_path, index.n_refs, index.hashes.shape[0])
+    logger.info("Saved k-mer index: %s (%d refs, %d bytes packed)",
+                path, index.n_refs, index.packed.shape[0])
 
 
 def load_index(fasta_path: str | Path, k: int = 32) -> Optional[PhageIndex]:
-    hash_path, meta_path = _hash_paths(fasta_path, k)
-    if not (hash_path.exists() and meta_path.exists()):
+    path = _index_path(fasta_path, k)
+    if not path.exists():
         return None
-    meta = np.load(meta_path, allow_pickle=False)
-    hashes = np.load(hash_path, mmap_mode="r")
+    meta = np.load(path, allow_pickle=False)
     return PhageIndex(
         k=int(meta["k"]),
         perm=np.asarray(meta["perm"]),
         names=[str(n) for n in meta["names"]],
         lengths=np.asarray(meta["lengths"]),
-        offsets=np.asarray(meta["offsets"]),
-        hashes=hashes,
+        code_offsets=np.asarray(meta["code_offsets"]),
+        mask_offsets=np.asarray(meta["mask_offsets"]),
+        packed=np.asarray(meta["packed"]),
+        maskbits=np.asarray(meta["maskbits"]),
     )
 
 

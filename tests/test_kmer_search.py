@@ -289,3 +289,108 @@ def test_bucket_len_bounded_shapes():
     # distinct buckets over a realistic ref-length spread stay small
     lens = list(range(5000, 3_000_000, 777))
     assert len({bucket_len(n) for n in lens}) <= 20
+
+
+# ---------------------------------------------------------------------------
+# wire packing + fused paths
+# ---------------------------------------------------------------------------
+
+def test_pack_codes_mask_roundtrip():
+    from palace_tpu.ops.kmer import pack_codes_mask, unpack_codes_mask
+
+    codes = RNG.integers(0, 5, size=(7, 64)).astype(np.uint8)  # incl. code 4
+    packed, mask = pack_codes_mask(codes)
+    assert packed.shape == (7, 16) and mask.shape == (7, 8)
+    out = np.asarray(unpack_codes_mask(jnp.asarray(packed), jnp.asarray(mask)))
+    np.testing.assert_array_equal(out, codes.astype(np.int32))
+
+
+def test_add_packed_matches_add_kmers():
+    from palace_tpu.ops.kmer import pack_codes_mask
+
+    k = K
+    perm = make_choose_coder(k, seed=3)
+    codes = RNG.integers(0, 5, size=(16, 40)).astype(np.uint8)
+    hashes, valid = kmer_hashes(jnp.asarray(codes), perm, k)
+
+    t_ref = CountTable.create(k=18).add_kmers(hashes, valid)
+    packed, mask = pack_codes_mask(codes)
+    t_fused = CountTable.create(k=18).add_packed(packed, mask, perm, k)
+    np.testing.assert_array_equal(np.asarray(t_ref.table),
+                                  np.asarray(t_fused.table))
+    # second batch accumulates (donated buffer threads through)
+    t_ref = t_ref.add_kmers(hashes, valid)
+    t_fused = t_fused.add_packed(packed, mask, perm, k)
+    np.testing.assert_array_equal(np.asarray(t_ref.table),
+                                  np.asarray(t_fused.table))
+
+
+def test_sharded_add_packed_matches_single(eight_devices):
+    from palace_tpu.ops.kmer import pack_codes_mask
+
+    k = K
+    perm = make_choose_coder(k, seed=3)
+    codes = RNG.integers(0, 5, size=(8, 64)).astype(np.uint8)
+    packed, mask = pack_codes_mask(codes)
+
+    single = CountTable.create(k=16).add_packed(packed, mask, perm, k)
+    mesh = make_mesh()
+    sharded = ShardedCountTable.create(mesh, k=16).add_packed(packed, mask, perm, k)
+    probe = RNG.integers(0, 1 << 16, size=(512,), dtype=np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(single.lookup(jnp.asarray(probe))),
+        np.asarray(sharded.lookup(jnp.asarray(probe))),
+    )
+
+
+def test_fused_scan_matches_oracle_path(tmp_path):
+    """search_references' fused device-resident path must equal the
+    per-ref hash-materialisation path (incl. N runs and tail masking
+    between adjacent refs in the flat packed DB)."""
+    from palace_tpu.config import KmerParams
+    from palace_tpu.search.eref import search_references
+    from palace_tpu.ops.window import bucket_len
+
+    k = 16
+    params = KmerParams(k=k, window=100, hit_ratio=0.9, perfect_hit_ratio=0.85)
+    rng = np.random.default_rng(11)
+    seqA = "".join(rng.choice(list("ACGT"), size=4000))
+    # ref B carries N runs; ref C is short (< window)
+    seqB = seqA[:1500] + "N" * 40 + seqA[1500:3000]
+    seqC = "".join(rng.choice(list("ACGT"), size=700))
+    db = tmp_path / "db.fasta"
+    write_fasta(db, [("A", seqA), ("B", seqB), ("C", seqC)])
+    index = build_index(db, k=k, coder_seed=1, save=False)
+
+    # depth-3 coverage of A via three offset tilings
+    table = CountTable.create(k=18)
+    for off in (0, 3, 7):
+        s = seqA[off:]
+        codes = seq_to_codes(s)[None, :]
+        h, v = kmer_hashes(jnp.asarray(codes), index.perm, k)
+        for _ in range(3):
+            table = table.add_kmers(h, v)
+
+    fused = search_references(table, index, params)
+
+    # oracle: per-ref hash materialisation + scan_reference
+    oracle = []
+    for r in range(index.n_refs):
+        rh = np.asarray(index.ref_hashes(r))
+        if rh.shape[0] == 0:
+            continue
+        L = rh.shape[0]
+        target = bucket_len(max(L, int(index.lengths[r])))
+        padded = np.pad(rh, ((0, target - L), (0, 0)))
+        counts = table.lookup(jnp.asarray(padded))
+        hit = scan_reference(
+            counts, padded, ref_index=r + 1, ref_len=int(index.lengths[r]),
+            window=params.window, hit_ratio=params.hit_ratio,
+            perfect_hit_ratio=params.perfect_hit_ratio,
+            min_cover_ratio=params.min_cover_ratio,
+            least_depth=params.least_depth)
+        if hit is not None:
+            oracle.append(hit)
+    assert [(h.ref_index, h.frag_count, h.covered, h.ref_len) for h in fused] == [
+        (h.ref_index, h.frag_count, h.covered, h.ref_len) for h in oracle]
+    assert len(fused) >= 2  # A and B both covered
