@@ -66,6 +66,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params
     from palace_tpu.models.scoring import _score_codes, pack_batch
 

@@ -81,6 +81,9 @@ def _cmd_makefa(args) -> int:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "matching":
         from palace_tpu.matching.solver import main as matching_main

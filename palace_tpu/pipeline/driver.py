@@ -581,6 +581,9 @@ def main(argv=None) -> int:
     ap.add_argument("--config", required=True)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)
+    from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = PalaceConfig.from_file(args.config)
     problems = cfg.validate()
     for p in problems:
