@@ -20,6 +20,9 @@ from typing import Optional, Sequence
 
 
 def _cmd_score(args) -> int:
+    from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from palace_tpu.models.gcn import DEFAULT_CONFIG, init_params, load_torch_state_dict
@@ -27,15 +30,23 @@ def _cmd_score(args) -> int:
 
     if args.model:
         params = load_torch_state_dict(args.model)
-    else:
+    elif args.allow_random_weights:
         params = init_params(jax.random.PRNGKey(0), DEFAULT_CONFIG)
-        print("warning: no --model; scoring with random weights", file=sys.stderr)
+        print("warning: no --model; scoring with RANDOM weights", file=sys.stderr)
+    else:
+        print("error: no --model given; random-weight scores are garbage. "
+              "Pass --model GCN_model_retrained.pt or opt in with "
+              "--allow-random-weights.", file=sys.stderr)
+        return 2
     score_fasta(params, args.fasta, args.out, batch_size=args.batch,
                 dtype=resolve_dtype(args.dtype))
     return 0
 
 
 def _cmd_eref(args) -> int:
+    from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from palace_tpu.config import KmerParams
     from palace_tpu.search.eref import run_search
     from palace_tpu.search.index import load_or_build_index
@@ -81,9 +92,9 @@ def _cmd_makefa(args) -> int:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
-    from palace_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
+    # NOTE: the compilation cache is enabled inside the jax-using
+    # subcommands (score, eref) — host-only commands (matching, makefa,
+    # fastg2fa, depth, graph) must not pay a multi-second jax import.
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "matching":
         from palace_tpu.matching.solver import main as matching_main
@@ -100,6 +111,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dtype", default="float32",
                    help="device compute dtype: float32 (default) or bfloat16")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="score without a checkpoint (garbage probabilities; "
+                        "tests/dev only)")
     p.set_defaults(fn=_cmd_score)
 
     p = sub.add_parser("eref", help="k-mer reference search (bin/eref)")

@@ -15,25 +15,27 @@ import subprocess
 from pathlib import Path
 from typing import Optional
 
+from palace_tpu import _native
 from palace_tpu.utils.logging import get_logger
 
 logger = get_logger("palace")
 
-NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-BINARY = NATIVE_DIR / "palace_native"
-
 
 def ensure_native_binary(rebuild: bool = False) -> Optional[Path]:
-    """Return the binary path, building it if needed; None when the
-    toolchain is unavailable."""
-    if BINARY.exists() and not rebuild:
-        return BINARY
+    """Return the binary path — installed package-data, $PALACE_NATIVE_DIR,
+    or a dev-tree build (making it on demand); None when unavailable."""
+    path, src = _native.find_artifact("palace_native")
+    if path is not None and not rebuild:
+        return path
+    if src is None:
+        logger.warning("palace_native not installed; using pure-Python BAM path")
+        return None
     if shutil.which("make") is None or shutil.which("g++") is None:
         logger.warning("No C++ toolchain; falling back to pure-Python BAM path")
         return None
     try:
         subprocess.run(
-            ["make", "-C", str(NATIVE_DIR)],
+            ["make", "-C", str(src)],
             check=True,
             capture_output=True,
             text=True,
@@ -41,7 +43,8 @@ def ensure_native_binary(rebuild: bool = False) -> Optional[Path]:
     except subprocess.CalledProcessError as e:
         logger.warning("native build failed, using Python fallback:\n%s", e.stderr)
         return None
-    return BINARY if BINARY.exists() else None
+    path, _ = _native.find_artifact("palace_native")
+    return path
 
 
 def native_graph(bam: str | Path, fastg_fai: str | Path, out: str | Path,

@@ -24,12 +24,10 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from palace_tpu import _native
 from palace_tpu.utils.logging import get_logger
 
 logger = get_logger("palace")
-
-NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-LIB = NATIVE_DIR / "libfastqcodec.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
@@ -40,20 +38,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not LIB.exists():
-        if shutil.which("make") is None or shutil.which("g++") is None:
+    lib_path, src = _native.find_artifact("libfastqcodec.so")
+    if lib_path is None:
+        if src is None or shutil.which("make") is None or shutil.which("g++") is None:
             return None
         try:
             subprocess.run(
-                ["make", "-C", str(NATIVE_DIR), "libfastqcodec.so"],
+                ["make", "-C", str(src), "libfastqcodec.so"],
                 check=True, capture_output=True, text=True,
             )
         except subprocess.CalledProcessError as e:
             logger.warning("fastqcodec build failed, using Python reader:\n%s",
                            e.stderr)
             return None
+        lib_path, _ = _native.find_artifact("libfastqcodec.so")
+        if lib_path is None:
+            return None
     try:
-        lib = ctypes.CDLL(str(LIB))
+        lib = ctypes.CDLL(str(lib_path))
     except OSError as e:
         logger.warning("fastqcodec load failed: %s", e)
         return None

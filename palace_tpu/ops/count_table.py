@@ -10,14 +10,23 @@ sorted run, then either
 
 * ``set``: one gather + one scatter-set of ``min(old+mult, cap)`` —
   every run member writes the identical value, so the scatter needs no
-  duplicate combine (fast path on TPU), or
+  duplicate combine (the slow part of scatter-add on TPU), or
 * ``addmin``: scatter-add the (≤cap-clipped) multiplicity at each run's
   last occurrence, then scatter-min back to ``cap`` (fast path on CPU).
 
-``ShardedCountTable`` splits the table across every device of a mesh
-by hash range (the multi-chip story of BASELINE.json): updates mask
-out-of-range hashes per shard, lookups psum partial gathers over the
-mesh axes, so a 4 GiB k=32 table becomes 4/N GiB per chip and both
+**Layout: the 2^k hash space is a 2-D array** ``(2^(k-16), 2^16)``;
+hash h lives at ``(h >> 16, h & 0xFFFF)``.  A flat 2^32 table is
+silently broken on the TPU backend — any dimension ≥ 2^31 overflows
+the int32 index arithmetic XLA:TPU lowers gather/scatter with, so
+every access drops/fills 0 (verified empirically on v5e: scatter+
+gather round-trips 0 for ALL indices once the dimension hits 2^31).
+Both split coordinates also stay well inside int32, so uint32 hashes
+never truncate.
+
+``ShardedCountTable`` splits the table's row axis across every device
+of a mesh (the multi-chip story of BASELINE.json): updates mask
+out-of-row-range hashes per shard, lookups psum partial gathers over
+the mesh axes, so a 4 GiB k=32 table becomes 4/N GiB per chip and both
 phases ride ICI collectives.
 """
 from __future__ import annotations
@@ -33,6 +42,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from palace_tpu.ops.kmer import kmer_hashes_traced, perm_to_key, unpack_codes_mask
+
+#: low bits of the hash addressing within a row (row width 2^16)
+ROW_BITS = 16
+
+
+def table_shape(k: int) -> Tuple[int, int]:
+    """(rows, row_width) of the 2-D table for a 2^k hash space."""
+    row = min(k, ROW_BITS)
+    return (1 << (k - row), 1 << row)
+
+
+def split_hash(hashes: jnp.ndarray, row_width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint32 hashes → (row int32, col int32) coordinates; ``row_width``
+    must be the table's (static) second dimension."""
+    row_bits = row_width.bit_length() - 1
+    h = hashes.astype(jnp.uint32)
+    hi = jax.lax.shift_right_logical(h, jnp.uint32(row_bits)).astype(jnp.int32)
+    lo = (h & jnp.uint32(row_width - 1)).astype(jnp.int32)
+    return hi, lo
+
+
+def lookup_traced(table: jnp.ndarray, hashes: jnp.ndarray) -> jnp.ndarray:
+    """Traceable gather: counts for arbitrary-shape uint32 hashes
+    against the 2-D table (hash 0 NOT masked here — callers apply the
+    reference's slot-0 permanent-miss rule)."""
+    flat = hashes.reshape(-1)
+    hi, lo = split_hash(flat, table.shape[1])
+    return table[hi, lo].reshape(hashes.shape)
 
 
 def _sorted_run_lengths(
@@ -76,11 +113,13 @@ def _update_set_traced(table: jnp.ndarray, hashes: jnp.ndarray,
     duplicate-handling combine (the slow part of scatter-add on TPU)
     is needed, and the sorted-indices hint holds."""
     s, total = _sorted_run_lengths(hashes, valid)
-    old = table[s]
+    hi, lo = split_hash(s, table.shape[1])
+    old = table[hi, lo]
     newv = jnp.minimum(
         old.astype(jnp.int32) + total, jnp.int32(cap)
     ).astype(jnp.uint8)
-    return table.at[s].set(newv, mode="drop", indices_are_sorted=True)
+    # flat-sorted s ⇒ (hi, lo) lexicographically sorted
+    return table.at[hi, lo].set(newv, mode="drop", indices_are_sorted=True)
 
 
 _update_table_set = jax.jit(_update_set_traced, static_argnames=("cap",))
@@ -113,9 +152,10 @@ def _update_table_addmin(table: jnp.ndarray, hashes: jnp.ndarray,
     nxt = jnp.concatenate([s[1:], s[-1:]])
     is_last = (pos == n - 1) | (s != nxt)
     inc = jnp.where(is_last, jnp.minimum(total, cap), 0).astype(jnp.uint8)
-    table = table.at[s].add(inc, mode="drop", indices_are_sorted=True)
-    table = table.at[s].min(jnp.uint8(cap), mode="drop",
-                            indices_are_sorted=True)
+    hi, lo = split_hash(s, table.shape[1])
+    table = table.at[hi, lo].add(inc, mode="drop", indices_are_sorted=True)
+    table = table.at[hi, lo].min(jnp.uint8(cap), mode="drop",
+                                 indices_are_sorted=True)
     return table
 
 
@@ -134,22 +174,20 @@ def _update_table(table: jnp.ndarray, hashes: jnp.ndarray, valid: jnp.ndarray,
     return fn(table, hashes, valid, cap)
 
 
-@jax.jit
-def _lookup_table(table: jnp.ndarray, hashes: jnp.ndarray) -> jnp.ndarray:
-    return table[hashes]
+_lookup_table = jax.jit(lookup_traced)
 
 
 @dataclass
 class CountTable:
     """Single-device saturating counter over 2^k hash slots."""
 
-    table: jnp.ndarray  # (2^k,) uint8
+    table: jnp.ndarray  # (2^(k-16), 2^16) uint8 — see module docstring
     k: int
     cap: int = 3
 
     @classmethod
     def create(cls, k: int, cap: int = 3) -> "CountTable":
-        return cls(table=jnp.zeros((1 << k,), jnp.uint8), k=k, cap=cap)
+        return cls(table=jnp.zeros(table_shape(k), jnp.uint8), k=k, cap=cap)
 
     def add_kmers(self, hashes: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> "CountTable":
         if valid is None:
@@ -180,9 +218,9 @@ class CountTable:
 
 @dataclass
 class ShardedCountTable:
-    """Count table range-sharded over all devices of a mesh."""
+    """Count table row-sharded over all devices of a mesh."""
 
-    table: jnp.ndarray  # (2^k,) uint8, sharded over flattened mesh axes
+    table: jnp.ndarray  # (rows, 2^16) uint8, rows sharded over mesh axes
     k: int
     mesh: Mesh
     cap: int = 3
@@ -192,15 +230,18 @@ class ShardedCountTable:
         axes = tuple(mesh.axis_names)
         sharding = NamedSharding(mesh, P(axes))
         n_dev = int(np.prod(mesh.devices.shape))
-        shard_size = -(-(1 << k) // n_dev)  # ceil: pad so any n_dev works
-        table = jax.device_put(jnp.zeros((shard_size * n_dev,), jnp.uint8), sharding)
+        rows, width = table_shape(k)
+        shard_rows = -(-rows // n_dev)  # ceil: pad so any n_dev works
+        table = jax.device_put(
+            jnp.zeros((shard_rows * n_dev, width), jnp.uint8), sharding)
         return cls(table=table, k=k, mesh=mesh, cap=cap)
 
     def _shard_fns(self):
         n_dev = int(np.prod(self.mesh.devices.shape))
+        rows, width = table_shape(self.k)
         return _make_shard_fns(
             tuple(self.mesh.axis_names), n_dev,
-            -(-(1 << self.k) // n_dev), self.cap,
+            -(-rows // n_dev), width, self.cap,
         )
 
     def add_kmers(self, hashes: jnp.ndarray,
@@ -245,38 +286,35 @@ class ShardedCountTable:
 
 
 @functools.lru_cache(maxsize=32)
-def _make_shard_fns(axes, n_dev: int, shard_size: int, cap: int):
+def _make_shard_fns(axes, n_dev: int, shard_rows: int, row_width: int, cap: int):
     def _local_idx(hashes):
         # device's linear index over the flattened mesh axes
-        dev = jnp.zeros((), jnp.uint32)
+        dev = jnp.zeros((), jnp.int32)
         for ax in axes:
-            dev = dev * jnp.uint32(jax.lax.axis_size(ax)) + jax.lax.axis_index(
-                ax
-            ).astype(jnp.uint32)
-        lo = dev * jnp.uint32(shard_size)
-        # all arithmetic in uint32: hashes < 2^32, lo ≤ (n_dev-1)·shard
-        local = hashes - lo
-        in_range = (hashes >= lo) & (local < jnp.uint32(shard_size))
-        idx = jnp.where(in_range, local, jnp.uint32(0))
-        return idx, in_range
+            dev = dev * jnp.int32(jax.lax.axis_size(ax)) + jax.lax.axis_index(ax)
+        base_row = dev * jnp.int32(shard_rows)
+        hi, lo = split_hash(hashes, row_width)
+        local_hi = hi - base_row
+        in_range = (local_hi >= 0) & (local_hi < shard_rows)
+        return jnp.where(in_range, local_hi, 0), lo, in_range
 
     def update_shard(table_shard, s, total):
         # s is globally sorted with per-value totals (computed once,
-        # replicated); each shard rewrites only its hash range.
-        # Out-of-range entries target index shard_size (OOB → drop);
+        # replicated); each shard rewrites only its hash row range.
+        # Out-of-range entries target row shard_rows (OOB → drop);
         # duplicates within a run write identical values, so the
         # scatter-set needs no combine.
-        idx, in_range = _local_idx(s)
-        old = table_shard[jnp.where(in_range, idx, 0)]
+        local_hi, lo, in_range = _local_idx(s)
+        old = table_shard[local_hi, lo]
         newv = jnp.minimum(
             old.astype(jnp.int32) + total, jnp.int32(cap)
         ).astype(jnp.uint8)
-        idx_s = jnp.where(in_range, idx, jnp.uint32(shard_size))
-        return table_shard.at[idx_s].set(newv, mode="drop")
+        hi_s = jnp.where(in_range, local_hi, jnp.int32(shard_rows))
+        return table_shard.at[hi_s, lo].set(newv, mode="drop")
 
     def lookup_shard(table_shard, hashes):
-        idx, in_range = _local_idx(hashes)
-        part = jnp.where(in_range, table_shard[idx], 0).astype(jnp.int32)
+        local_hi, lo, in_range = _local_idx(hashes)
+        part = jnp.where(in_range, table_shard[local_hi, lo], 0).astype(jnp.int32)
         return jax.lax.psum(part, axes)
 
     return update_shard, lookup_shard, axes
@@ -290,8 +328,9 @@ def _sharded_update_packed(mesh: Mesh, table_bits: int, cap: int,
     shards donated."""
     axes = tuple(mesh.axis_names)
     n_dev = int(np.prod(mesh.devices.shape))
-    update_shard, _, _ = _make_shard_fns(axes, n_dev,
-                                         -(-(1 << table_bits) // n_dev), cap)
+    rows, width = table_shape(table_bits)
+    update_shard, _, _ = _make_shard_fns(axes, n_dev, -(-rows // n_dev),
+                                         width, cap)
     spec_table = P(axes)
     shard_update = jax.shard_map(
         update_shard, mesh=mesh,

@@ -121,10 +121,13 @@ class RefHit:
     ratio: float
 
     def line(self) -> str:
-        """stdout line format of extract_ref.cpp:617."""
+        """stdout line format of extract_ref.cpp:617.  The reference's
+        ``el_ratio`` is a C ``float`` printed by cout at default
+        precision (6 significant digits); round through float32 so the
+        text is byte-identical."""
         return (
             f"ref_index\t{self.ref_index}\t{self.frag_count}\t{self.covered}"
-            f"\t{self.ref_len}\t{self.ratio:g}"
+            f"\t{self.ref_len}\t{float(np.float32(self.ratio)):g}"
         )
 
 
@@ -161,7 +164,8 @@ def scan_reference(
     )[:ref_len]
     iv = intervals_from_good(good, ref_len, window)
     el = sum(e - s for s, e in iv)
-    ratio = el / ref_len if ref_len else 0.0
-    if el > 0 and ratio > min_cover_ratio:
+    # float(el)/float(ref_len) in the reference — float32 arithmetic
+    ratio = float(np.float32(el) / np.float32(ref_len)) if ref_len else 0.0
+    if el > 0 and np.float32(ratio) > np.float32(min_cover_ratio):
         return RefHit(ref_index, len(iv), el, ref_len, ratio)
     return None

@@ -88,11 +88,21 @@ class PalacePipeline:
 
         if self.cfg.gcn_model and os.path.isfile(self.cfg.gcn_model):
             params = load_torch_state_dict(self.cfg.gcn_model)
-        else:
+        elif self.cfg.score.allow_random_weights or os.environ.get(
+                "PALACE_ALLOW_RANDOM_WEIGHTS"):
             logger.warning(
-                "gcn_model checkpoint missing — scoring with random weights"
+                "gcn_model checkpoint missing — scoring with RANDOM weights "
+                "(explicitly allowed)"
             )
             params = init_params(jax.random.PRNGKey(0))
+        else:
+            raise RuntimeError(
+                f"gcn_model checkpoint not found: {self.cfg.gcn_model!r}. "
+                "Scores from random weights are garbage; point config key "
+                "gcn_model at GCN_model_retrained.pt, or opt in explicitly "
+                "with score.allow_random_weights=true / "
+                "PALACE_ALLOW_RANDOM_WEIGHTS=1."
+            )
         return score_fasta(
             params, fasta, out_path, DEFAULT_CONFIG,
             batch_size=self.cfg.score.batch_size, mesh=self.mesh,
@@ -100,67 +110,91 @@ class PalacePipeline:
         )
 
     # ------------------------------------------------------------------
+    def _stage(self, name: str, fn, outputs, allow_empty: bool = False):
+        """Run one sub-step through the StageRunner — skip-if-exists when
+        ``force`` is off (palace:140-149), always re-run when on."""
+        return self.runner.run(Stage(name, fn, outputs, allow_empty))
+
     def step1_qc(self) -> None:
         o1, o2 = self.out["filter_fastq1"], self.out["filter_fastq2"]
-        if file_exists_with_content(o1) and file_exists_with_content(o2):
-            logger.warning("Step 1 outputs exist — skipping QC")
-            return
-        o1.parent.mkdir(parents=True, exist_ok=True)
-        ran = external.run_fastp(
-            self.cfg.fastq1, self.cfg.fastq2, o1, o2, self.cfg.threads,
-            o1.parent / f"{self.cfg.prefix}_fastp.json",
-            o1.parent / f"{self.cfg.prefix}_fastp.html",
-        )
-        if not ran:
-            raise RuntimeError(
-                "fastp unavailable and QC outputs not pre-staged: "
-                f"{o1}, {o2}"
+
+        def _run() -> None:
+            ran = external.run_fastp(
+                self.cfg.fastq1, self.cfg.fastq2, o1, o2, self.cfg.threads,
+                o1.parent / f"{self.cfg.prefix}_fastp.json",
+                o1.parent / f"{self.cfg.prefix}_fastp.html",
             )
+            if not ran:
+                if file_exists_with_content(o1) and file_exists_with_content(o2):
+                    logger.warning(
+                        "fastp unavailable — keeping pre-staged QC outputs")
+                    return
+                raise RuntimeError(
+                    "fastp unavailable and QC outputs not pre-staged: "
+                    f"{o1}, {o2}"
+                )
+
+        self._stage("qc", _run, [o1, o2])
 
     def step2_assembly(self) -> None:
         contigs = self.out_dir / "02-assembly" / "contigs.fasta"
-        if not file_exists_with_content(contigs):
-            (self.out_dir / "02-assembly").mkdir(parents=True, exist_ok=True)
+        fasta = self.out["assembly_fasta"]
+        fastg = self.out["assembly_fastg"]
+        bam = self.out["first_bam"]
+
+        def _assemble() -> None:
             if not external.run_spades_meta(
                 self.out["filter_fastq1"], self.out["filter_fastq2"],
                 self.out_dir / "02-assembly", self.cfg.threads,
             ):
+                if file_exists_with_content(contigs):
+                    logger.warning(
+                        "SPAdes unavailable — keeping pre-staged assembly")
+                    return
                 raise RuntimeError(
-                    "SPAdes unavailable and assembly not pre-staged: "
-                    f"{contigs}"
+                    f"SPAdes unavailable and assembly not pre-staged: {contigs}"
                 )
-        fasta = self.out["assembly_fasta"]
-        fastg = self.out["assembly_fastg"]
-        if not file_exists_with_content(fasta):
-            fastg_to_node_fasta(fastg, fasta)
+
+        self._stage("assembly", _assemble, [contigs])
+        self._stage("fastg2fa", lambda: fastg_to_node_fasta(fastg, fasta), [fasta])
         for f in (fasta, fastg):
             if not Path(str(f) + ".fai").exists():
                 build_fai(f)
-        bam = self.out["first_bam"]
-        if not file_exists_with_content(Path(str(bam) + ".bai")) and not file_exists_with_content(bam):
+
+        def _align() -> None:
             if not external.run_bwa_samtools(
                 fasta, self.out["filter_fastq1"], self.out["filter_fastq2"],
                 bam, self.cfg.threads,
             ):
+                if file_exists_with_content(bam):
+                    logger.warning(
+                        "bwa/samtools unavailable — keeping pre-staged BAM")
+                    return
                 raise RuntimeError(
                     f"bwa/samtools unavailable and BAM not pre-staged: {bam}"
                 )
+
+        self._stage("align", _align, [bam])
 
     def step3_search(self) -> None:
         search_dir = self.out_dir / "03-search"
         search_dir.mkdir(parents=True, exist_ok=True)
         fasta = self.out["assembly_fasta"]
 
-        if not file_exists_with_content(self.out["hit_out"]):
-            find_phage_gene_matches(
-                fasta, self.cfg.protein_db, search_dir, self.cfg.threads
-            )
+        self._stage(
+            "gene_matches",
+            lambda: find_phage_gene_matches(
+                fasta, self.cfg.protein_db, search_dir, self.cfg.threads),
+            [self.out["hit_out"]],
+        )
 
-        if not file_exists_with_content(self.out["node_score"]):
+        def _score() -> None:
             scorer = self.scorer or self._default_scorer
             scorer(str(fasta), str(self.out["node_score"]))
 
-        if not file_exists_with_content(self.out["ref_names"]):
+        self._stage("score", _score, [self.out["node_score"]])
+
+        def _eref() -> None:
             index = load_or_build_index(
                 self.cfg.phagedb, self.cfg.kmer.k, self.cfg.kmer.coder_seed
             )
@@ -169,8 +203,11 @@ class PalacePipeline:
                 self.cfg.kmer, self.out["ref_names"], mesh=self.mesh,
             )
 
+        self._stage("eref", _eref, [self.out["ref_names"]])
+
         refs = self.out["phage_refs"]
-        if not refs.exists():
+
+        def _extract_refs() -> None:
             if not Path(str(self.cfg.phagedb) + ".fai").exists():
                 build_fai(self.cfg.phagedb)
             extract_reference_sequences(
@@ -186,6 +223,9 @@ class PalacePipeline:
                 )
                 Path(str(refs) + ".fai").touch()
 
+        # the ref FASTA is legitimately empty when eref reported nothing
+        self._stage("extract_refs", _extract_refs, [refs], allow_empty=True)
+
     # ------------------------------------------------------------------
     def step4_graph_match(self) -> Dict[str, Path]:
         cfg = self.cfg
@@ -198,35 +238,50 @@ class PalacePipeline:
 
         # 4.1 blast contigs vs refs (layout A)
         blast_out = Path(str(fasta) + ".blast")
-        if not blast_out.exists():
+
+        def _blast_contigs() -> None:
             if has_refs and external.run_makeblastdb(refs, refs):
                 external.run_blastn(fasta, refs, blast_out, cfg.threads,
                                     external.OUTFMT_A)
             else:
                 blast_out.touch()
 
+        self._stage("blast_contigs", _blast_contigs, [blast_out],
+                    allow_empty=True)
+
         # 4.2 depth
         bam = self.out["first_bam"]
         depth_file = Path(str(bam) + ".depth")
-        if not file_exists_with_content(depth_file) and not file_exists_with_content(
-            Path(str(depth_file) + ".gz")
-        ):
+        depth_gz = Path(str(depth_file) + ".gz")
+
+        def _depth() -> None:
+            if file_exists_with_content(depth_gz) and not self.runner.force:
+                return  # pre-staged bgzip depth (reference tabix artifact)
             compute_depth_file(bam, depth_file)
+
+        if file_exists_with_content(depth_gz) and not file_exists_with_content(depth_file):
+            self._stage("depth", _depth, [depth_gz])
+        else:
+            self._stage("depth", _depth, [depth_file])
         store = DepthStore.read_text(
-            depth_file if depth_file.exists() else Path(str(depth_file) + ".gz")
+            depth_file if depth_file.exists() else depth_gz
         )
         first_depth = store.global_average()
         logger.info("Average sequencing depth: %s", first_depth)
 
         # 4.3 junction graph
         graph_file = self.out["graph"]
-        if not file_exists_with_content(graph_file):
-            build_graph(bam, str(self.out["assembly_fastg"]) + ".fai",
-                        graph_file, first_depth)
+        self._stage(
+            "graph",
+            lambda: build_graph(bam, str(self.out["assembly_fastg"]) + ".fai",
+                                graph_file, first_depth),
+            [graph_file],
+        )
 
         # 4.4 filter graph
         filtered = self.out["filtered_graph"]
-        if not file_exists_with_content(filtered):
+
+        def _filter_graph() -> None:
             pre = match_dir / f"{prefix}_filtered_graph_pre.txt"
             filter_graph(
                 str(self.out["assembly_fastg"]) + ".fai", graph_file, pre,
@@ -238,38 +293,54 @@ class PalacePipeline:
             )
             uniq_file(pre, filtered)
 
+        self._stage("filter_graph", _filter_graph, [filtered])
+
         # 4.5 matching
         linear = match_dir / f"{prefix}_linear.txt"
         cycle = match_dir / f"{prefix}_cycle.txt"
-        solve_graph_file(
-            filtered, linear, cycle,
-            MatchingOptions(
-                iterations=cfg.matching_iters, single_graph=True,
-                hints_path=str(self.out_dir / "02-assembly" / "contigs.paths"),
-            ),
-        )
         cycle_nodup = match_dir / f"{prefix}_cycle_nodup.txt"
-        remove_duplicate_pairs(cycle, cycle_nodup)
         all_result = match_dir / f"{prefix}_all_result.txt"
-        with open(all_result, "w") as out:
-            out.write(open(linear).read())
-            out.write(open(cycle_nodup).read())
+
+        def _matching() -> None:
+            solve_graph_file(
+                filtered, linear, cycle,
+                MatchingOptions(
+                    iterations=cfg.matching_iters, single_graph=True,
+                    hints_path=str(self.out_dir / "02-assembly" / "contigs.paths"),
+                ),
+            )
+            remove_duplicate_pairs(cycle, cycle_nodup)
+            with open(all_result, "w") as out:
+                out.write(open(linear).read())
+                out.write(open(cycle_nodup).read())
+
+        self._stage("matching", _matching, [all_result], allow_empty=True)
 
         filtered_fasta = match_dir / f"{prefix}_filtered.fasta"
-        filter_result(
-            fasta, all_result, filtered_fasta, blast_out,
-            cfg.filter_blast_ratio, self.out["hit_out"],
-            self.out["node_score"], match_dir / f"{prefix}_filtered_cycle.txt",
+        filtered_cycle = match_dir / f"{prefix}_filtered_cycle.txt"
+        self._stage(
+            "filter_result",
+            lambda: filter_result(
+                fasta, all_result, filtered_fasta, blast_out,
+                cfg.filter_blast_ratio, self.out["hit_out"],
+                self.out["node_score"], filtered_cycle,
+            ),
+            [filtered_fasta, filtered_cycle],
+            allow_empty=True,
         )
 
         filtered_blast = Path(str(filtered_fasta) + ".blast")
-        if not filtered_blast.exists():
+
+        def _blast_filtered() -> None:
             if has_refs and file_exists_with_content(filtered_fasta) and \
                     external.run_makeblastdb(refs, refs):
                 external.run_blastn(filtered_fasta, refs, filtered_blast,
                                     cfg.threads, external.OUTFMT_B)
             else:
                 filtered_blast.touch()
+
+        self._stage("blast_filtered", _blast_filtered, [filtered_blast],
+                    allow_empty=True)
         return {
             "depth_store": store,
             "filtered_graph": filtered,

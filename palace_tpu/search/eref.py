@@ -215,7 +215,9 @@ def _scan_ref_fused(
     h, valid = kmer_hashes_traced(codes, perm_key, k)  # (1, M, 3)
     hashes = jnp.where(valid[0][:, None], h[0], 0)
     hashes = jnp.pad(hashes, ((0, k - 1), (0, 0)))  # (target, 3)
-    counts = jnp.where(hashes == 0, jnp.uint8(0), table[hashes])
+    from palace_tpu.ops.count_table import lookup_traced
+
+    counts = jnp.where(hashes == 0, jnp.uint8(0), lookup_traced(table, hashes))
     good = good_windows(counts, hashes, window, one_min, three_min, least_depth)
     return jnp.packbits(good, bitorder="little")  # (target//8,) uint8
 
@@ -241,8 +243,8 @@ def search_references(
         mask_flat = jnp.asarray(np.pad(index.maskbits, (0, max((t // 8 for t in targets), default=0))))
         for r in range(index.n_refs):
             ref_len = int(index.lengths[r])
-            if ref_len < index.k:
-                continue  # no k-mers: the reference emits nothing
+            if ref_len <= index.k:
+                continue  # reference indexes only ref_len > k (read_ref :698)
             target = targets[r]
             bits = _scan_ref_fused(
                 table.table, packed_flat, mask_flat,
@@ -256,8 +258,9 @@ def search_references(
             good = np.unpackbits(np.asarray(bits), bitorder="little")[:ref_len]
             iv = intervals_from_good(good.astype(bool), ref_len, params.window)
             el = sum(e - s for s, e in iv)
-            ratio = el / ref_len if ref_len else 0.0
-            if el > 0 and ratio > params.min_cover_ratio:
+            # reference computes float(el)/float(ref_len) (float32)
+            ratio = float(np.float32(el) / np.float32(ref_len)) if ref_len else 0.0
+            if el > 0 and np.float32(ratio) > np.float32(params.min_cover_ratio):
                 hits.append(RefHit(r + 1, len(iv), el, ref_len, ratio))
     else:
         # mesh-sharded table: per-ref hash materialisation + psum lookup

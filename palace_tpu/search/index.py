@@ -86,6 +86,45 @@ def _index_path(fasta_path: str | Path, k: int) -> Path:
     return Path(str(fasta_path) + f".k{k}.palace.npz")
 
 
+def perm_from_reference_index(index_dat: str | Path, k: int = 32) -> np.ndarray:
+    """Extract the coder permutation from a reference ``.k32.index.dat``.
+
+    The reference persists ``choose_coder`` as the first 100 "u32"
+    header entries (extract_ref.cpp:680-682) — each 4-byte write starts
+    at ``&choose_coder[j]`` of a ``short[100]``, so entry j carries
+    choose_coder[j] in its low 16 bits (saved_random_coder :1104-1122
+    reads them back with the same truncation).  Lets this engine search
+    with byte-compatible hashes against an index the reference built.
+    """
+    raw = np.fromfile(index_dat, dtype="<u4", count=100)
+    if raw.shape[0] < 100:
+        raise ValueError(f"{index_dat}: truncated header ({raw.shape[0]} < 100 u32)")
+    shorts = (raw & 0xFFFF).astype(np.int32)
+    perm = shorts[: k * 3].reshape(k, 3)
+    if perm.min() < 0 or perm.max() > 2:
+        raise ValueError(f"{index_dat}: header is not a coder permutation")
+    return perm
+
+
+def iter_reference_index_records(index_dat: str | Path, k: int = 32):
+    """Yield ``(ref_len, hashes (ref_len-k+1, 3) uint32)`` per record of
+    a reference-format index (read_index framing, extract_ref.cpp:
+    841-878: u32 ref_len then (ref_len-k+1)*3 u32 canonical hashes).
+    Records exist only for references longer than k (read_ref :698)."""
+    with open(index_dat, "rb") as fh:
+        fh.seek(400)  # 100-u32 choose_coder header
+        while True:
+            head = fh.read(4)
+            if len(head) < 4:
+                return
+            ref_len = int(np.frombuffer(head, dtype="<u4")[0])
+            m = ref_len - k + 1
+            data = np.fromfile(fh, dtype="<u4", count=m * 3)
+            if data.shape[0] < m * 3:
+                return
+            yield ref_len, data.reshape(m, 3)
+
+
 def compute_hashes_for_codes(codes: np.ndarray, perm: np.ndarray, k: int) -> np.ndarray:
     """Canonical (M, 3) hashes for one code sequence, tiled on device;
     invalid windows → 0 (extract_ref.cpp:793-796)."""
@@ -111,9 +150,17 @@ def compute_hashes_for_seq(seq: str, perm: np.ndarray, k: int) -> np.ndarray:
 
 
 def build_index(
-    fasta_path: str | Path, k: int = 32, coder_seed: int = 1, save: bool = True
+    fasta_path: str | Path,
+    k: int = 32,
+    coder_seed: int = 1,
+    save: bool = True,
+    perm: Optional[np.ndarray] = None,
 ) -> PhageIndex:
-    perm = make_choose_coder(k, coder_seed)
+    """Build the packed index.  ``perm`` overrides the seeded coder
+    permutation — pass ``perm_from_reference_index(...)`` to search
+    hash-compatibly with an index the reference binary built."""
+    if perm is None:
+        perm = make_choose_coder(k, coder_seed)
     names: List[str] = []
     lengths: List[int] = []
     code_offsets: List[int] = [0]

@@ -39,12 +39,20 @@ def enable_compilation_cache() -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache everything: tiny entries are still ~seconds of tracing+
-        # compile on a TPU backend, and the demo pipeline is made of
-        # many small programs.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # very old jax or read-only home: run uncached
         return None
+    # Cache everything: tiny entries are still ~seconds of tracing+
+    # compile on a TPU backend, and the demo pipeline is made of many
+    # small programs.  These knobs are optional — the cache dir above is
+    # already active, so a missing flag (older jax) must not report the
+    # cache as disabled.
+    for flag, value in (
+        ("jax_persistent_cache_min_compile_time_secs", 0.0),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+    ):
+        try:
+            jax.config.update(flag, value)
+        except Exception:
+            pass
     _DONE = True
     return cache_dir

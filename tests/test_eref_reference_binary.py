@@ -1,0 +1,235 @@
+"""Differential validation of the eref engine against the reference's
+prebuilt binary (/root/reference/bin/eref — the one reference component
+that can execute here).
+
+Contract proved per scenario:
+  1. hash-stream equality — every (position, coder) canonical u32 hash
+     this engine computes equals the record the reference binary wrote
+     into ``phagedb.k32.index.dat`` (read_ref, extract_ref.cpp:652-811);
+  2. stdout equality — the exact ``ref_index`` lines
+     (slide_window, extract_ref.cpp:617), including the float32
+     ratio formatting, after the full Phase A (count) + Phase B (scan).
+
+The coder permutation is *extracted from the reference-built index
+header* (the binary draws it from time(0), extract_ref.cpp:1088, and
+persists it :680-682), so both sides hash identically by construction
+and the test exercises everything else: base coding, canonical min,
+saturating counts, window thresholds, interval merge, coverage gate,
+output formatting.
+
+Scenarios keep fq1 small enough that the reference's down-sampling
+ratio is ≥100 (every read used — its only deterministic regime,
+extract_ref.cpp:954-958) and reference lengths uniform per DB (the
+binary reads k-1 uninitialised tail bytes per record, slide_window
+:522 vs read_index :855 — uniform record sizes make glibc hand back
+the same zero-filled chunk every time).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+EREF_BIN = Path("/root/reference/bin/eref")
+
+REQUIRED_MEM_KB = 28 * 1024 * 1024  # binary allocates ~20.6 GB of tables
+
+
+def _mem_available_kb() -> int:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _binary_usable() -> bool:
+    if not (EREF_BIN.exists() and os.access(EREF_BIN, os.X_OK)):
+        return False
+    if _mem_available_kb() < REQUIRED_MEM_KB:
+        return False
+    # argv-less invocation must at least exec (aborts on missing argv)
+    try:
+        subprocess.run([str(EREF_BIN)], capture_output=True, timeout=30)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return True
+
+
+pytestmark = pytest.mark.skipif(
+    not _binary_usable(),
+    reason="reference eref binary not executable here (missing, wrong arch, "
+    "or <28 GB RAM available)",
+)
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def rand_seq(rng: np.random.Generator, n: int) -> str:
+    return BASES[rng.integers(0, 4, n)].tobytes().decode()
+
+
+def revcomp(s: str) -> str:
+    return "".join(_COMP[c] for c in reversed(s))
+
+
+def tile_reads(seq: str, read_len: int = 150, stride: int = 30,
+               rc: bool = False) -> list:
+    out = []
+    for off in range(0, len(seq) - read_len + 1, stride):
+        r = seq[off : off + read_len]
+        out.append(revcomp(r) if rc else r)
+    return out
+
+
+def write_fastq(path: Path, reads: list) -> None:
+    with open(path, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+
+def write_fasta(path: Path, refs: list) -> None:
+    with open(path, "w") as fh:
+        for name, seq in refs:
+            fh.write(f">{name}\n")
+            for off in range(0, len(seq), 70):
+                fh.write(seq[off : off + 70] + "\n")
+
+
+def run_reference(fq1: Path, fq2: Path, db: Path, tmp: Path) -> list:
+    """argv contract: fq1 fq2 phagedb tmp_out hit_ratio perfect threads
+    (extract_ref.cpp:1221-1231)."""
+    res = subprocess.run(
+        [str(EREF_BIN), str(fq1), str(fq2), str(db),
+         str(tmp / "intervals.txt"), "0.9", "0.85", "1"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, f"reference eref failed: {res.stderr[-2000:]}"
+    return [l for l in res.stdout.splitlines() if l.startswith("ref_index")]
+
+
+def run_ours(fq1: Path, fq2: Path, db: Path) -> tuple:
+    from palace_tpu.config import KmerParams
+    from palace_tpu.search.eref import count_reads_into_table, search_references
+    from palace_tpu.search.index import build_index, perm_from_reference_index
+
+    perm = perm_from_reference_index(str(db) + ".k32.index.dat")
+    index = build_index(db, k=32, save=False, perm=perm)
+    params = KmerParams()
+    table = count_reads_into_table([fq1, fq2], index, params)
+    hits = search_references(table, index, params)
+    del table
+    return index, [h.line() for h in hits]
+
+
+def assert_hash_streams_equal(index, db: Path) -> None:
+    from palace_tpu.search.index import iter_reference_index_records
+
+    records = list(iter_reference_index_records(str(db) + ".k32.index.dat"))
+    long_refs = [r for r in range(index.n_refs) if index.lengths[r] > index.k]
+    assert len(records) == len(long_refs)
+    for (ref_len, ref_hashes), r in zip(records, long_refs):
+        assert ref_len == int(index.lengths[r])
+        mine = index.ref_hashes(r)
+        np.testing.assert_array_equal(
+            mine, ref_hashes,
+            err_msg=f"hash stream mismatch on reference #{r + 1}",
+        )
+
+
+@pytest.fixture(scope="module")
+def db1(tmp_path_factory):
+    """Five uniform 5000 bp references, deterministic content."""
+    tmp = tmp_path_factory.mktemp("erefdb1")
+    rng = np.random.default_rng(20240817)
+    refs = [(f"phage{i}", rand_seq(rng, 5000)) for i in range(1, 6)]
+    db = tmp / "phagedb.fa"
+    write_fasta(db, refs)
+    return tmp, db, dict(refs)
+
+
+def _run_scenario(tmp: Path, db: Path, name: str, fq1_reads, fq2_reads):
+    sdir = tmp / name
+    sdir.mkdir(exist_ok=True)
+    fq1, fq2 = sdir / "r1.fq", sdir / "r2.fq"
+    write_fastq(fq1, fq1_reads)
+    write_fastq(fq2, fq2_reads)
+    ref_lines = run_reference(fq1, fq2, db, sdir)
+    index, our_lines = run_ours(fq1, fq2, db)
+    return index, ref_lines, our_lines
+
+
+def test_full_coverage_two_refs(db1):
+    tmp, db, seqs = db1
+    r1 = tile_reads(seqs["phage1"], stride=30)
+    r3 = tile_reads(seqs["phage3"], stride=30)
+    half = len(r3) // 2
+    index, ref_lines, our_lines = _run_scenario(
+        tmp, db, "full", r1 + r3[:half], r3[half:])
+    # strongest check once per DB: every indexed hash bit-identical
+    assert_hash_streams_equal(index, db)
+    assert ref_lines == our_lines
+    assert {l.split("\t")[1] for l in ref_lines} == {"1", "3"}
+
+
+def test_revcomp_only_reads(db1):
+    tmp, db, seqs = db1
+    reads = tile_reads(seqs["phage2"], stride=30, rc=True)
+    _, ref_lines, our_lines = _run_scenario(tmp, db, "rc", reads, [])
+    assert ref_lines == our_lines
+    assert {l.split("\t")[1] for l in ref_lines} == {"2"}
+
+
+def test_partial_coverage_and_low_depth(db1):
+    tmp, db, seqs = db1
+    # ~60 % of phage1 → intervals pad past 75 % → reported;
+    # ~50 % of phage2 → below the gate → silent;
+    # depth-1 tiling of phage4 → counts < least_depth → silent.
+    r1 = tile_reads(seqs["phage1"][: 3000], stride=30)
+    r2 = tile_reads(seqs["phage2"][: 2500], stride=30)
+    r4 = tile_reads(seqs["phage4"], stride=150)
+    _, ref_lines, our_lines = _run_scenario(
+        tmp, db, "partial", r1 + r4, r2)
+    assert ref_lines == our_lines
+    assert {l.split("\t")[1] for l in ref_lines} == {"1"}
+
+
+def test_reads_with_N_bases(db1):
+    tmp, db, seqs = db1
+    rng = np.random.default_rng(7)
+    reads = []
+    # one N per read invalidates ≤32 of its 119 k-mers; stride 15 keeps
+    # ~8 overlapping reads per k-mer so counts still saturate at 3
+    for r in tile_reads(seqs["phage5"], stride=15):
+        chars = list(r)
+        chars[int(rng.integers(0, len(chars)))] = "N"
+        reads.append("".join(chars))
+    _, ref_lines, our_lines = _run_scenario(tmp, db, "withn", reads, [])
+    assert ref_lines == our_lines
+    assert {l.split("\t")[1] for l in ref_lines} == {"5"}
+
+
+def test_reference_with_N_block(tmp_path):
+    """A reference containing an N run: invalid k-mers hash to 0 in the
+    index (read_ref :793-796) and never hit; full read coverage around
+    the block still passes the 75 % gate through interval padding."""
+    rng = np.random.default_rng(11)
+    seq = rand_seq(rng, 5000)
+    seq_n = seq[:2400] + "N" * 120 + seq[2520:]
+    refs = [("withN", seq_n), ("plain", rand_seq(rng, 5000))]
+    db = tmp_path / "db.fa"
+    write_fasta(db, refs)
+    reads = [r for r in tile_reads(seq_n, stride=30) if "N" not in r]
+    index, ref_lines, our_lines = _run_scenario(
+        tmp_path, db, "nblock", reads, [])
+    assert_hash_streams_equal(index, db)
+    assert ref_lines == our_lines
+    assert {l.split("\t")[1] for l in ref_lines} == {"1"}
