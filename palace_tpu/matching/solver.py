@@ -12,28 +12,60 @@ tab-separated oriented-token lines and a cycle file of
 (marker, path) line pairs with ``iter``/``self`` markers
 (remove_cycle_dup.py:9-27, filter_result.py:125-171).
 
-This is a from-scratch solver on the conjugate graph:
+This is a from-scratch solver: **iterative mutual-best handshake
+matching with chain contraction** on the conjugate graph.
 
-* each segment contributes ``copy`` placement slots; every physical
-  copy has a HEAD and a TAIL end usable at most once;
-* an oriented junction (A,oA,B,oB) joins A's (oA=='+' ? TAIL : HEAD)
-  to B's (oB=='+' ? HEAD : TAIL) and is identical to its conjugate
-  (B,~oB) → (A,~oA);
-* iterative greedy maximum-weight matching: junction weight = read
-  support, boosted when the pair is adjacent in a SPAdes path hint
-  (-l) and, in subgraph mode (-b/--aggressive), when the segments are
-  consecutive in reference order (the extra SEG column written by
-  create_sub_graph.py:74-77);
-* matched junction instances are threaded into walks; closed walks go
-  to the cycle file (``iter``-marked; single-node cycles ``self``-
-  marked), open walks and unplaced segments to the linear file.
+Model
+-----
+* each segment contributes ``copy`` independent *chain instances*;
+  a chain is an oriented walk and may be flipped (reverse + flip
+  orientations) at any time — both representations are the same
+  physical molecule;
+* an oriented junction (A,oA)→(B,oB) is identical to its conjugate
+  (B,~oB)→(A,~oA); its two *plugs* are the oriented nodes that leave
+  each incident chain: (A,oA) and (B,~oB).  A chain end's *signature*
+  is the oriented node leaving the chain at that end (back: the last
+  node; front: the flipped first node).  A junction joins two chain
+  ends whose signatures match its two plugs;
+* junction budget = min(copy(left), copy(right)) uses of the
+  canonical junction (each use consumes one end slot on each side —
+  slots are implicit in the chain model: an end is used at most once);
+* junction weight = read support + span_no_fastg, boosted when the
+  pair is adjacent in a SPAdes path hint (-l) and, in subgraph mode
+  (-b/--aggressive), when the segments are consecutive in reference
+  order (the extra SEG column written by create_sub_graph.py:74-77).
 
-Budgets (copy numbers) and junction multiplicities are hard
-constraints — properties the tests assert.
+Iterations (-i)
+---------------
+Each round snapshots, for every free chain end, its best feasible
+junction weight, then merges end pairs in descending weight order
+only when the junction is *mutual best* for both ends (a handshake).
+Merging contracts the two chains and frees budgets/ends for the next
+round, so later rounds resolve junctions that were not locally optimal
+earlier (e.g. the second copy of a repeat binds its second-best
+neighbour only after the best one is spent).  ``-i N`` bounds the
+number of rounds: ``-i 1`` yields only the unambiguous first-round
+joins; larger ``-i`` converges to a full decomposition.
+
+Modes
+-----
+* ``-s`` (single/global graph): conservative — an end whose best
+  weight is achieved by two *different* junctions abstains for the
+  round (ambiguity may resolve later as budgets drain); protects the
+  global decomposition from chimeric ties.
+* default: handshake with deterministic lexicographic tie-break.
+* ``-b`` (subgraph): enables the reference-order bonus column.
+* ``--aggressive``: after the handshake pass, greedily applies any
+  remaining feasible join in weight order even when not mutual —
+  subgraphs are forced toward complete per-reference assembly.
+
+After the rounds, each chain is closed into a cycle when a junction
+with remaining budget joins its back to its own front (single-node
+closures are ``self``-marked, longer ones ``iter``-marked); open
+chains and fully-unplaced segments go to the linear file.
 """
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -75,21 +107,12 @@ class Link:
     def conjugate_tuple(self) -> Tuple[str, str, str, str]:
         return (self.right, _FLIP[self.ro], self.left, _FLIP[self.lo])
 
-    def left_end(self) -> Tuple[str, int]:
-        return (self.left, TAIL if self.lo == "+" else HEAD)
+    def plugs(self) -> Tuple[Tuple[str, str], Tuple[str, str]]:
+        """The two oriented-node signatures this junction joins."""
+        return (self.left, self.lo), (self.right, _FLIP[self.ro])
 
-    def right_end(self) -> Tuple[str, int]:
-        return (self.right, HEAD if self.ro == "+" else TAIL)
-
-
-def _node_out_end(seg: str, orient: str) -> Tuple[str, int]:
-    """End consumed when leaving oriented node seg^orient."""
-    return (seg, TAIL if orient == "+" else HEAD)
-
-
-def _node_in_end(seg: str, orient: str) -> Tuple[str, int]:
-    """End consumed when entering oriented node seg^orient."""
-    return (seg, HEAD if orient == "+" else TAIL)
+    def sort_key(self) -> Tuple[str, str, str, str]:
+        return (self.left, self.lo, self.right, self.ro)
 
 
 def _segment_number(name: str) -> Optional[str]:
@@ -144,6 +167,42 @@ class MatchingResult:
                 fh.write("\t".join(w.tokens()) + "\n")
 
 
+class _Chain:
+    __slots__ = ("cid", "nodes", "merged")
+
+    def __init__(self, cid: int, nodes: List[Tuple[str, str]], merged: bool = False):
+        self.cid = cid
+        self.nodes = nodes
+        self.merged = merged  # has this chain ever absorbed a junction?
+
+    def flip(self) -> None:
+        self.nodes = [(s, _FLIP[o]) for s, o in reversed(self.nodes)]
+
+    def front_sig(self) -> Tuple[str, str]:
+        s, o = self.nodes[0]
+        return (s, _FLIP[o])
+
+    def back_sig(self) -> Tuple[str, str]:
+        return self.nodes[-1]
+
+
+class _End:
+    """A live chain end.  Its signature is invariant under chain flips
+    and survives merges (the surviving ends of a merge keep their
+    identity), so round-start state stays valid as chains contract."""
+
+    __slots__ = ("eid", "cid", "side", "sig", "best_w", "ambiguous", "alive")
+
+    def __init__(self, eid: int, cid: int, side: str, sig: Tuple[str, str]):
+        self.eid = eid
+        self.cid = cid      # current owning chain (updated on merge)
+        self.side = side    # current side on that chain: 'F' or 'B'
+        self.sig = sig
+        self.best_w = float("-inf")
+        self.ambiguous = False
+        self.alive = True
+
+
 class _Solver:
     def __init__(self, graph: Graph, opts: MatchingOptions):
         self.graph = graph
@@ -151,12 +210,6 @@ class _Solver:
         self.copies: Dict[str, int] = {
             name: max(1, seg.copy_number) for name, seg in graph.segs.items()
         }
-        # remaining end slots per (seg, end)
-        self.end_free: Dict[Tuple[str, int], int] = {}
-        for name, c in self.copies.items():
-            self.end_free[(name, HEAD)] = c
-            self.end_free[(name, TAIL)] = c
-        self.visits_free: Dict[str, int] = dict(self.copies)
 
         hints = (
             _load_hint_pairs(opts.hints_path, graph.segs) if opts.hints_path else set()
@@ -170,7 +223,7 @@ class _Solver:
                     except ValueError:
                         pass
 
-        # canonical link weights (conjugates merge)
+        # canonical link weights (conjugates merge) and budgets
         self.weights: Dict[Link, float] = {}
         self.budget: Dict[Link, int] = {}
         for j in graph.juncs:
@@ -193,148 +246,192 @@ class _Solver:
             cap = min(self.copies.get(j.left, 1), self.copies.get(j.right, 1))
             self.budget[link] = max(self.budget.get(link, 0), cap)
 
-        # adjacency: oriented node -> [(link, forward?)], pre-sorted by
-        # descending weight so _next_from never re-sorts
-        self.adj: Dict[Tuple[str, str], List[Tuple[Link, bool]]] = {}
+        # plug-signature indexes
+        self.links_by_sig: Dict[Tuple[str, str], List[Link]] = {}
+        self.link_by_plugpair: Dict[Tuple[Tuple[str, str], Tuple[str, str]], Link] = {}
         for link in self.weights:
-            self.adj.setdefault((link.left, link.lo), []).append((link, True))
-            conj = link.conjugate_tuple()
-            self.adj.setdefault((conj[0], conj[1]), []).append((link, False))
-        for lst in self.adj.values():
-            lst.sort(key=lambda lf: (-self.weights[lf[0]], lf[0].left, lf[0].lo,
-                                     lf[0].right, lf[0].ro))
+            p1, p2 = link.plugs()
+            self.links_by_sig.setdefault(p1, []).append(link)
+            if p2 != p1:
+                self.links_by_sig.setdefault(p2, []).append(link)
+            self.link_by_plugpair[tuple(sorted((p1, p2)))] = link
+        for lst in self.links_by_sig.values():
+            lst.sort(key=lambda l: (-self.weights[l],) + l.sort_key())
 
-        # start-link priority heap.  Budgets, end slots and visit counts
-        # only ever DECREASE, so once a link fails the start criteria it
-        # fails forever — lazy deletion from a heap is exact, turning the
-        # per-walk full rescan into amortised O(log n).
-        self._start_heap: List[Tuple[float, str, str, str, str]] = [
-            (-w, link.left, link.lo, link.right, link.ro)
-            for link, w in self.weights.items()
-        ]
-        heapq.heapify(self._start_heap)
-        self._heap_links: Dict[Tuple[float, str, str, str, str], Link] = {
-            (-w, link.left, link.lo, link.right, link.ro): link
-            for link, w in self.weights.items()
-        }
+        # chain instances: one per copy, created in sorted-segment order
+        self.chains: Dict[int, _Chain] = {}
+        self._next_cid = 0
+        for name in sorted(graph.segs):
+            for _ in range(self.copies[name]):
+                self.chains[self._next_cid] = _Chain(self._next_cid, [(name, "+")])
+                self._next_cid += 1
 
     # ------------------------------------------------------------------
-    def _use_link(self, link: Link) -> None:
-        self.budget[link] -= 1
-        self.end_free[link.left_end()] -= 1
-        self.end_free[link.right_end()] -= 1
+    def _other_plug(self, link: Link, sig: Tuple[str, str]) -> Tuple[str, str]:
+        p1, p2 = link.plugs()
+        return p2 if sig == p1 else p1
 
-    def _link_usable(self, link: Link) -> bool:
-        if self.budget.get(link, 0) <= 0:
-            return False
-        le, re = link.left_end(), link.right_end()
-        if le == re:  # e.g. A+→A−: the same physical end twice
-            return self.end_free[le] >= 2
-        return self.end_free[le] > 0 and self.end_free[re] > 0
+    def _round(self) -> bool:
+        """One matching round.  Returns True if any merge happened."""
+        opts = self.opts
 
-    def _next_from(self, node: Tuple[str, str]) -> Optional[Tuple[Link, Tuple[str, str]]]:
-        """Best usable outgoing link from an oriented node (the target
-        must still have a free visit)."""
-        best = None
-        for link, fwd in self.adj.get(node, []):
-            if not self._link_usable(link):
-                continue
-            if fwd:
-                target = (link.right, link.ro)
-            else:
-                conj = link.conjugate_tuple()
-                target = (conj[2], conj[3])
-            if self.visits_free.get(target[0], 0) <= 0:
-                continue
-            best = (link, target)
-            break
-        return best
+        # --- snapshot free ends -------------------------------------
+        ends: List[_End] = []
+        for cid in sorted(self.chains):
+            ch = self.chains[cid]
+            ends.append(_End(len(ends), cid, "F", ch.front_sig()))
+            ends.append(_End(len(ends), cid, "B", ch.back_sig()))
+        by_sig: Dict[Tuple[str, str], List[_End]] = {}
+        for e in ends:
+            by_sig.setdefault(e.sig, []).append(e)
+        # chain -> its two current end objects
+        chain_ends: Dict[int, Dict[str, _End]] = {}
+        for e in ends:
+            chain_ends.setdefault(e.cid, {})[e.side] = e
 
-    def _start_usable(self, link: Link) -> bool:
-        if not self._link_usable(link):
-            return False
-        if link.left == link.right and link.lo != link.ro:
-            # inverted self-repeat places two copies of the segment
-            return self.visits_free.get(link.left, 0) >= 2
-        return (
-            self.visits_free.get(link.left, 0) > 0
-            and self.visits_free.get(link.right, 0) > 0
+        # --- per-end best feasible weight (round-start snapshot) -----
+        for e in ends:
+            best = float("-inf")
+            best_links: Set[Link] = set()
+            for link in self.links_by_sig.get(e.sig, []):
+                if self.budget.get(link, 0) <= 0:
+                    continue
+                w = self.weights[link]
+                if w < best:
+                    break  # list is weight-sorted
+                other = self._other_plug(link, e.sig)
+                partners = by_sig.get(other, [])
+                if not any(p.cid != e.cid and p is not e for p in partners):
+                    continue
+                if w > best:
+                    best = w
+                    best_links = {link}
+                else:
+                    best_links.add(link)
+            e.best_w = best
+            e.ambiguous = len(best_links) > 1
+
+        candidates = sorted(
+            (l for l in self.weights if self.budget.get(l, 0) > 0),
+            key=lambda l: (-self.weights[l],) + l.sort_key(),
         )
 
-    def _start_link(self) -> Optional[Link]:
-        heap = self._start_heap
-        while heap:
-            link = self._heap_links[heap[0]]
-            if self._start_usable(link):
-                # leave it on the heap: with budget > 1 it may start
-                # another walk; it's popped once it turns unusable
-                return link
-            heapq.heappop(heap)
-        return None
+        merged_any = False
+
+        def _try_pairs(link: Link, require_mutual: bool) -> None:
+            nonlocal merged_any
+            w = self.weights[link]
+            p1, p2 = link.plugs()
+            while self.budget[link] > 0:
+                pair = None
+                for e1 in by_sig.get(p1, []):
+                    if not e1.alive:
+                        continue
+                    if require_mutual and (
+                        e1.best_w != w or (opts.single_graph and e1.ambiguous)
+                    ):
+                        continue
+                    for e2 in by_sig.get(p2, []):
+                        if not e2.alive or e2 is e1 or e2.cid == e1.cid:
+                            continue
+                        if require_mutual and (
+                            e2.best_w != w or (opts.single_graph and e2.ambiguous)
+                        ):
+                            continue
+                        pair = (e1, e2)
+                        break
+                    if pair:
+                        break
+                if not pair:
+                    return
+                self._merge(link, *pair, chain_ends)
+                merged_any = True
+
+        for link in candidates:
+            _try_pairs(link, require_mutual=True)
+        if opts.aggressive:
+            for link in candidates:
+                if self.budget.get(link, 0) > 0:
+                    _try_pairs(link, require_mutual=False)
+        return merged_any
+
+    def _merge(
+        self,
+        link: Link,
+        e1: _End,
+        e2: _End,
+        chain_ends: Dict[int, Dict[str, _End]],
+    ) -> None:
+        """Join e1's chain (oriented so e1 is its back) to e2's chain
+        (oriented so e2 is its front) through ``link``."""
+        c1 = self.chains[e1.cid]
+        c2 = self.chains[e2.cid]
+        if e1.side == "F":
+            c1.flip()
+        if e2.side == "B":
+            c2.flip()
+        new = _Chain(self._next_cid, c1.nodes + c2.nodes, merged=True)
+        self._next_cid += 1
+        del self.chains[c1.cid], self.chains[c2.cid]
+        self.chains[new.cid] = new
+        self.budget[link] -= 1
+        e1.alive = False
+        e2.alive = False
+        # surviving ends keep identity; relocate to the merged chain
+        survivors = {}
+        o1 = chain_ends[c1.cid]["F" if e1.side == "B" else "B"]
+        o1.cid, o1.side = new.cid, "F"
+        survivors["F"] = o1
+        o2 = chain_ends[c2.cid]["F" if e2.side == "B" else "B"]
+        o2.cid, o2.side = new.cid, "B"
+        survivors["B"] = o2
+        del chain_ends[c1.cid], chain_ends[c2.cid]
+        chain_ends[new.cid] = survivors
 
     # ------------------------------------------------------------------
     def solve(self) -> MatchingResult:
-        result = MatchingResult()
-        max_walks = max(1, self.opts.iterations) * (len(self.graph.segs) + 1) * 4
-
-        for _ in range(max_walks):
-            start = self._start_link()
-            if start is None:
+        for _ in range(max(1, self.opts.iterations)):
+            if not self._round():
                 break
 
-            if start.left == start.right and start.lo == start.ro:
-                # self-circularisation: one copy closing on itself
-                self._use_link(start)
-                self.visits_free[start.left] -= 1
-                result.cycles.append(_Walk([(start.left, start.lo)], closed=True))
+        result = MatchingResult()
+
+        # cycle closure: back joins front through a budgeted junction
+        closed_cids: Set[int] = set()
+        for cid in sorted(self.chains):
+            ch = self.chains[cid]
+            key = tuple(sorted((ch.back_sig(), ch.front_sig())))
+            link = self.link_by_plugpair.get(key)
+            if link is not None and self.budget.get(link, 0) > 0:
+                self.budget[link] -= 1
+                closed_cids.add(cid)
+                result.cycles.append(_Walk(list(ch.nodes), closed=True))
+
+        placed: Set[str] = {
+            seg for w in result.cycles for seg, _ in w.nodes
+        }
+        for cid in sorted(self.chains):
+            ch = self.chains[cid]
+            if cid in closed_cids:
                 continue
+            if ch.merged:
+                placed.update(seg for seg, _ in ch.nodes)
 
-            self._use_link(start)
-            nodes = [(start.left, start.lo), (start.right, start.ro)]
-            self.visits_free[start.left] -= 1
-            self.visits_free[start.right] -= 1
-
-            # extend forward
-            while True:
-                nxt = self._next_from(nodes[-1])
-                if nxt is None:
-                    break
-                link, target = nxt
-                self._use_link(link)
-                self.visits_free[target[0]] -= 1
-                nodes.append(target)
-            # extend backward: predecessors of nodes[0] are successors of
-            # its conjugate, reversed and flipped back
-            while True:
-                head = nodes[0]
-                conj_head = (head[0], _FLIP[head[1]])
-                nxt = self._next_from(conj_head)
-                if nxt is None:
-                    break
-                link, target = nxt
-                self._use_link(link)
-                self.visits_free[target[0]] -= 1
-                nodes.insert(0, (target[0], _FLIP[target[1]]))
-
-            # closing link tail → head?
-            closed = False
-            for link, fwd in self.adj.get(nodes[-1], []):
-                target = (
-                    (link.right, link.ro) if fwd else link.conjugate_tuple()[2:4]
-                )
-                if tuple(target) == nodes[0] and self._link_usable(link):
-                    self._use_link(link)
-                    closed = True
-                    break
-
-            walk = _Walk(nodes, closed=closed)
-            (result.cycles if closed else result.linear).append(walk)
-
-        # unplaced segments → singleton linear paths (deterministic order)
-        for name in sorted(self.graph.segs):
-            if self.visits_free.get(name, 0) >= self.copies[name] and self.copies[name] > 0:
-                result.linear.append(_Walk([(name, "+")]))
-                self.visits_free[name] -= 1
+        # open chains → linear; leftover never-merged instances collapse
+        # to at most one singleton per fully-unplaced segment
+        emitted_singleton: Set[str] = set()
+        for cid in sorted(self.chains):
+            if cid in closed_cids:
+                continue
+            ch = self.chains[cid]
+            if ch.merged:
+                result.linear.append(_Walk(list(ch.nodes)))
+                continue
+            seg = ch.nodes[0][0]
+            if seg in placed or seg in emitted_singleton:
+                continue
+            emitted_singleton.add(seg)
+            result.linear.append(_Walk([(seg, "+")]))
         return result
 
 

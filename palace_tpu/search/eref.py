@@ -45,7 +45,6 @@ from palace_tpu.ops.kmer import (
 from palace_tpu.ops.window import (
     RefHit,
     good_windows,
-    scan_reference,
     window_thresholds,
 )
 from palace_tpu.search.index import PhageIndex
@@ -179,12 +178,8 @@ def count_reads_into_table(
     return table
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target", "perm_key", "k", "window", "one_min",
-                     "three_min", "least_depth"),
-)
-def _scan_ref_fused(
+def _scan_body(
+    lookup_fn,
     table: jnp.ndarray,
     packed_flat: jnp.ndarray,
     mask_flat: jnp.ndarray,
@@ -202,10 +197,11 @@ def _scan_ref_fused(
 ) -> jnp.ndarray:
     """Phase B for one reference in ONE dispatch against the
     device-resident packed DB: slice packed codes → unpack → 3-coder
-    hashes → count-table gather → good-window flags → bit-packed
-    result.  Wire cost ≈ target/8 bytes DOWN and three scalars UP —
-    the old path shipped 12 B/position of precomputed hashes up.
-    Compiles once per {2^n, 1.5·2^n} length bucket."""
+    hashes → count-table lookup (``lookup_fn``: plain gather, or a
+    shard_map psum over a mesh-sharded table) → good-window flags →
+    bit-packed result.  Wire cost ≈ target/8 bytes DOWN and three
+    scalars UP — the old path shipped 12 B/position of precomputed
+    hashes up.  Compiles once per {2^n, 1.5·2^n} length bucket."""
     pb = jax.lax.dynamic_slice(packed_flat, (code_off,), (target // 4,))
     mb = jax.lax.dynamic_slice(mask_flat, (mask_off,), (target // 8,))
     codes = unpack_codes_mask(pb[None, :], mb[None, :])  # (1, target)
@@ -215,11 +211,60 @@ def _scan_ref_fused(
     h, valid = kmer_hashes_traced(codes, perm_key, k)  # (1, M, 3)
     hashes = jnp.where(valid[0][:, None], h[0], 0)
     hashes = jnp.pad(hashes, ((0, k - 1), (0, 0)))  # (target, 3)
-    from palace_tpu.ops.count_table import lookup_traced
-
-    counts = jnp.where(hashes == 0, jnp.uint8(0), lookup_traced(table, hashes))
+    counts = jnp.where(hashes == 0, jnp.uint8(0), lookup_fn(table, hashes))
     good = good_windows(counts, hashes, window, one_min, three_min, least_depth)
     return jnp.packbits(good, bitorder="little")  # (target//8,) uint8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target", "perm_key", "k", "window", "one_min",
+                     "three_min", "least_depth"),
+)
+def _scan_ref_fused(table, packed_flat, mask_flat, code_off, mask_off,
+                    ref_len, **kw):
+    from palace_tpu.ops.count_table import lookup_traced
+
+    return _scan_body(lookup_traced, table, packed_flat, mask_flat,
+                      code_off, mask_off, ref_len, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_ref_fused_sharded(mesh, table_bits: int, cap: int, *, target: int,
+                            perm_key, k: int, window: int, one_min: int,
+                            three_min: int, least_depth: int):
+    """Cached jit of the fused Phase-B scan against a mesh-sharded
+    table: the unpack/hash/window work is replicated (elementwise,
+    cheap) while the 4 GiB-class table gather runs as per-shard partial
+    lookups joined by one ``psum`` over ICI — the multi-chip
+    configuration now runs the same single-dispatch path as the
+    single-chip one (VERDICT weak #6)."""
+    import numpy as _np
+    from jax.sharding import PartitionSpec as P
+
+    from palace_tpu.ops.count_table import _make_shard_fns, table_shape
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(_np.prod(mesh.devices.shape))
+    rows, width = table_shape(table_bits)
+    _, lookup_shard, _ = _make_shard_fns(axes, n_dev, -(-rows // n_dev),
+                                         width, cap)
+    sharded_lookup = jax.shard_map(
+        lookup_shard, mesh=mesh, in_specs=(P(axes), P()), out_specs=P(),
+    )
+
+    def lookup_fn(table, hashes):
+        flat = hashes.reshape(-1).astype(jnp.uint32)
+        return sharded_lookup(table, flat).reshape(hashes.shape).astype(jnp.uint8)
+
+    def f(table, packed_flat, mask_flat, code_off, mask_off, ref_len):
+        return _scan_body(
+            lookup_fn, table, packed_flat, mask_flat, code_off, mask_off,
+            ref_len, target=target, perm_key=perm_key, k=k, window=window,
+            one_min=one_min, three_min=three_min, least_depth=least_depth,
+        )
+
+    return jax.jit(f)
 
 
 def search_references(
@@ -232,59 +277,43 @@ def search_references(
 
     hits: List[RefHit] = []
     t0 = time.perf_counter()
-    if isinstance(table, CountTable):
-        # fused path: the whole packed DB lives on device for the scan
-        perm_key = perm_to_key(index.perm)
-        one_min, three_min = window_thresholds(
-            params.window, params.hit_ratio, params.perfect_hit_ratio)
-        targets = [bucket_len(int(L)) for L in index.lengths]
-        slack = max((t // 4 for t in targets), default=0)
-        packed_flat = jnp.asarray(np.pad(index.packed, (0, slack)))
-        mask_flat = jnp.asarray(np.pad(index.maskbits, (0, max((t // 8 for t in targets), default=0))))
-        for r in range(index.n_refs):
-            ref_len = int(index.lengths[r])
-            if ref_len <= index.k:
-                continue  # reference indexes only ref_len > k (read_ref :698)
-            target = targets[r]
-            bits = _scan_ref_fused(
-                table.table, packed_flat, mask_flat,
-                jnp.int32(index.code_offsets[r]),
-                jnp.int32(index.mask_offsets[r]),
-                jnp.int32(ref_len),
-                target=target, perm_key=perm_key, k=index.k,
-                window=params.window, one_min=one_min, three_min=three_min,
-                least_depth=params.least_depth,
-            )
-            good = np.unpackbits(np.asarray(bits), bitorder="little")[:ref_len]
-            iv = intervals_from_good(good.astype(bool), ref_len, params.window)
-            el = sum(e - s for s, e in iv)
-            # reference computes float(el)/float(ref_len) (float32)
-            ratio = float(np.float32(el) / np.float32(ref_len)) if ref_len else 0.0
-            if el > 0 and np.float32(ratio) > np.float32(params.min_cover_ratio):
-                hits.append(RefHit(r + 1, len(iv), el, ref_len, ratio))
-    else:
-        # mesh-sharded table: per-ref hash materialisation + psum lookup
-        for r in range(index.n_refs):
-            ref_hashes = np.asarray(index.ref_hashes(r))
-            if ref_hashes.shape[0] == 0:
-                continue
-            L = ref_hashes.shape[0]
-            target = bucket_len(max(L, int(index.lengths[r])))
-            padded = np.pad(ref_hashes, ((0, target - L), (0, 0)))
-            counts = table.lookup(jnp.asarray(padded))
-            hit = scan_reference(
-                counts,
-                padded,
-                ref_index=r + 1,  # 1-based FASTA record number
-                ref_len=int(index.lengths[r]),
-                window=params.window,
-                hit_ratio=params.hit_ratio,
-                perfect_hit_ratio=params.perfect_hit_ratio,
-                min_cover_ratio=params.min_cover_ratio,
-                least_depth=params.least_depth,
-            )
-            if hit is not None:
-                hits.append(hit)
+    # fused path for BOTH table kinds: the whole packed DB lives on
+    # device; the sharded table swaps the gather for a psum shard_map
+    perm_key = perm_to_key(index.perm)
+    one_min, three_min = window_thresholds(
+        params.window, params.hit_ratio, params.perfect_hit_ratio)
+    targets = [bucket_len(int(L)) for L in index.lengths]
+    slack = max((t // 4 for t in targets), default=0)
+    packed_flat = jnp.asarray(np.pad(index.packed, (0, slack)))
+    mask_flat = jnp.asarray(np.pad(index.maskbits, (0, max((t // 8 for t in targets), default=0))))
+    for r in range(index.n_refs):
+        ref_len = int(index.lengths[r])
+        if ref_len <= index.k:
+            continue  # reference indexes only ref_len > k (read_ref :698)
+        target = targets[r]
+        static = dict(
+            target=target, perm_key=perm_key, k=index.k,
+            window=params.window, one_min=one_min, three_min=three_min,
+            least_depth=params.least_depth,
+        )
+        if isinstance(table, CountTable):
+            scan = functools.partial(_scan_ref_fused, **static)
+        else:
+            scan = _scan_ref_fused_sharded(
+                table.mesh, table.k, table.cap, **static)
+        bits = scan(
+            table.table, packed_flat, mask_flat,
+            jnp.int32(index.code_offsets[r]),
+            jnp.int32(index.mask_offsets[r]),
+            jnp.int32(ref_len),
+        )
+        good = np.unpackbits(np.asarray(bits), bitorder="little")[:ref_len]
+        iv = intervals_from_good(good.astype(bool), ref_len, params.window)
+        el = sum(e - s for s, e in iv)
+        # reference computes float(el)/float(ref_len) (float32)
+        ratio = float(np.float32(el) / np.float32(ref_len)) if ref_len else 0.0
+        if el > 0 and np.float32(ratio) > np.float32(params.min_cover_ratio):
+            hits.append(RefHit(r + 1, len(iv), el, ref_len, ratio))
     GLOBAL_METRICS.record(
         "eref.scan_refs", time.perf_counter() - t0, items=index.n_refs, unit="refs"
     )

@@ -394,3 +394,59 @@ def test_fused_scan_matches_oracle_path(tmp_path):
     assert [(h.ref_index, h.frag_count, h.covered, h.ref_len) for h in fused] == [
         (h.ref_index, h.frag_count, h.covered, h.ref_len) for h in oracle]
     assert len(fused) >= 2  # A and B both covered
+
+
+def test_sharded_add_packed_fallback_nondivisible_batch(eight_devices):
+    """Batch rows not divisible by the device count take the replicated
+    path — results must still match the single-device table."""
+    from palace_tpu.ops.kmer import pack_codes_mask
+
+    k = K
+    perm = make_choose_coder(k, seed=3)
+    codes = RNG.integers(0, 5, size=(5, 64)).astype(np.uint8)  # 5 % 8 != 0
+    packed, mask = pack_codes_mask(codes)
+
+    single = CountTable.create(k=16).add_packed(packed, mask, perm, k)
+    sharded = ShardedCountTable.create(make_mesh(), k=16).add_packed(
+        packed, mask, perm, k)
+    probe = RNG.integers(0, 1 << 16, size=(512,), dtype=np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(single.lookup(jnp.asarray(probe))),
+        np.asarray(sharded.lookup(jnp.asarray(probe))),
+    )
+
+
+def test_sharded_fused_scan_matches_single(tmp_path, eight_devices):
+    """Phase B against a mesh-sharded table (fused psum scan) reports
+    byte-identical hits to the single-device fused scan, and the
+    batch-sharded Phase A populates the sharded table equivalently."""
+    k = 16
+    params = KmerParams(k=k, window=100, hit_ratio=0.9, perfect_hit_ratio=0.85)
+    rng = np.random.default_rng(5)
+    refs = {
+        "phageA": "".join(rng.choice(list("ACGT"), size=3000)),
+        "phageB": "".join(rng.choice(list("ACGT"), size=3000)),
+    }
+    db = tmp_path / "phagedb.fasta"
+    write_fasta(db, list(refs.items()))
+    index = build_index(db, k=k, coder_seed=1, save=False)
+
+    reads = []
+    for off in (0, 3, 7):
+        reads += _make_reads(refs["phageB"][off:], 100, 10)
+    fq1 = tmp_path / "r1.fastq"
+    fq2 = tmp_path / "r2.fastq"
+    _write_fastq(fq1, reads)
+    _write_fastq(fq2, [reverse_complement(r) for r in reads])
+
+    from palace_tpu.search.eref import count_reads_into_table, search_references
+
+    single = count_reads_into_table([fq1, fq2], index, params)
+    hits_single = search_references(single, index, params)
+
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = count_reads_into_table([fq1, fq2], index, params, mesh=mesh)
+    hits_sharded = search_references(sharded, index, params)
+
+    assert [h.line() for h in hits_single] == [h.line() for h in hits_sharded]
+    assert [h.ref_index for h in hits_sharded] == [2]

@@ -229,3 +229,140 @@ def test_solver_structural_invariants_fuzz(seed):
     assert [w.tokens() for w in res2.linear + res2.cycles] == [
         w.tokens() for w in res.linear + res.cycles
     ]
+
+
+# ----------------------------------------------------------------------
+# Iterative semantics + mode distinctions (VERDICT round-1 item 2)
+
+
+def _repeat_graph():
+    """Copy-number-2 repeat R flanked by two alternative contexts.
+
+    A→R and R→B carry the strong evidence; C→R and R→D the weaker.
+    Nothing ties A's copy of R to B, so full resolution needs budget
+    depletion across rounds: round 1 can only bind the mutual-best
+    pairs, later rounds bind the residual copy to its second-best
+    neighbours.
+    """
+    segs = [_seg("A"), _seg("B"), _seg("C"), _seg("D"), _seg("R", copy=2)]
+    juncs = [
+        _junc("A", "+", "R", "+", support=20),
+        _junc("R", "+", "B", "+", support=20),
+        _junc("C", "+", "R", "+", support=15),
+        _junc("R", "+", "D", "+", support=15),
+    ]
+    return _graph(segs, juncs)
+
+
+def test_iterations_refine_decomposition():
+    g = _repeat_graph()
+    res1 = solve_matching(g, MatchingOptions(iterations=1))
+    res10 = solve_matching(g, MatchingOptions(iterations=10))
+
+    walks1 = sorted(tuple(w.tokens()) for w in res1.linear + res1.cycles)
+    walks10 = sorted(tuple(w.tokens()) for w in res10.linear + res10.cycles)
+    assert walks1 != walks10
+
+    # -i 1: only the two mutual-best (w=20) joins happen; C and D stay
+    # unplaced singletons
+    flat1 = [t for w in walks1 for t in w]
+    assert ["C+"] in [list(w) for w in walks1]
+    assert ["D+"] in [list(w) for w in walks1]
+
+    # -i 10 converges: every segment placed, both R copies used, and
+    # every junction realised (4 joins → exactly 2 walks of 3 nodes)
+    assert sorted(len(w) for w in walks10) == [3, 3]
+    counts = _visit_counts(res10)
+    assert counts["R"] == 2
+    for s in "ABCD":
+        assert counts[s] == 1
+
+
+def test_more_iterations_never_fewer_joins():
+    """Across -i 1..6 on the repeat graph, realised joins are monotone
+    non-decreasing (iterations only ever refine)."""
+    def joins(res):
+        return sum(len(w.nodes) - 1 for w in res.linear + res.cycles) + sum(
+            len(w.nodes) > 1 for w in res.cycles
+        )
+
+    g = _repeat_graph()
+    prev = -1
+    for i in range(1, 7):
+        cur = joins(solve_matching(g, MatchingOptions(iterations=i)))
+        assert cur >= prev
+        prev = cur
+
+
+def test_single_mode_abstains_on_ties_aggressive_resolves():
+    """-s leaves an equal-weight fork unresolved (chimera protection);
+    --aggressive commits to a deterministic choice."""
+    segs = [_seg("A"), _seg("B"), _seg("X")]
+    juncs = [
+        _junc("A", "+", "X", "+", support=10),
+        _junc("B", "+", "X", "+", support=10),
+    ]
+    g = _graph(segs, juncs)
+
+    res_s = solve_matching(g, MatchingOptions(single_graph=True))
+    walks_s = sorted(w.tokens() for w in res_s.linear + res_s.cycles)
+    # X's best weight is achieved by two different junctions → abstain
+    assert walks_s == [["A+"], ["B+"], ["X+"]]
+
+    res_a = solve_matching(g, MatchingOptions(aggressive=True))
+    walks_a = [w.tokens() for w in res_a.linear + res_a.cycles]
+    assert any(len(w) == 2 for w in walks_a)  # the tie was committed
+    res_a2 = solve_matching(g, MatchingOptions(aggressive=True))
+    assert [w.tokens() for w in res_a2.linear + res_a2.cycles] == walks_a
+
+
+def test_equal_weight_cycle_decomposition_deterministic():
+    """Adversarial tie: a 4-node graph admitting two equal-weight cycle
+    decompositions (AB|CD as one 4-cycle or two 2-cycles). The solver
+    must pick one deterministically and respect all budgets."""
+    segs = [_seg(n) for n in "ABCD"]
+    juncs = [
+        _junc("A", "+", "B", "+", support=10),
+        _junc("B", "+", "C", "+", support=10),
+        _junc("C", "+", "D", "+", support=10),
+        _junc("D", "+", "A", "+", support=10),
+        _junc("B", "+", "A", "+", support=10),
+        _junc("D", "+", "C", "+", support=10),
+    ]
+    g = _graph(segs, juncs)
+    base = None
+    for _ in range(3):
+        res = solve_matching(g, MatchingOptions(aggressive=True, iterations=10))
+        walks = [(w.tokens(), w.closed) for w in res.linear + res.cycles]
+        if base is None:
+            base = walks
+        assert walks == base
+    counts = _visit_counts(res)
+    assert all(counts[s] <= 1 for s in "ABCD")
+    allowed = _allowed_pairs(g)
+    for w in res.linear + res.cycles:
+        for u, v in zip(w.nodes, w.nodes[1:]):
+            assert (u, v) in allowed
+
+
+def test_aggressive_places_more_than_single_mode():
+    """On the tie graph plus a repeat, aggressive realises >= joins of -s."""
+    g = _repeat_graph()
+    res_s = solve_matching(g, MatchingOptions(single_graph=True, iterations=10))
+    res_a = solve_matching(g, MatchingOptions(aggressive=True, iterations=10))
+
+    def joins(res):
+        return sum(len(w.nodes) - 1 for w in res.linear + res.cycles)
+
+    assert joins(res_a) >= joins(res_s)
+
+
+def test_cycle_closure_budget_not_double_spent():
+    """Tandem repeat: copy-2 A with self junction A+→A+ budget 2 can
+    form the 2-cycle [A+, A+] using both budget units (merge + close),
+    never three."""
+    g = _graph([_seg("A", copy=2)], [_junc("A", "+", "A", "+", support=9)])
+    res = solve_matching(g)
+    assert _visit_counts(res)["A"] <= 2
+    all_walks = [(w.tokens(), w.closed) for w in res.linear + res.cycles]
+    assert (["A+", "A+"], True) in all_walks
