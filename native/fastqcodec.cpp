@@ -26,6 +26,7 @@
 #include <cstdint>
 #include <cstring>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -271,6 +272,88 @@ double fqc_count_bases(const char* path) {
     if (phase == 1 && line_len) total += (double)(line_len - (cr ? 1 : 0));
     gzclose(f);
     return total;
+}
+
+// ---- contig batch packer (GCN scoring host path) --------------------------
+//
+// The scoring stage ships contigs to the device as 2-bit-packed base
+// codes (palace_tpu/ops/encoder.py pack_codes); the Python
+// translate+slice pipeline sustains ~40k contigs/s at 10 kb and was
+// the measured host-side bound of the headline bench
+// (benchmarks/ANALYSIS.md).  These two passes replace it: count valid
+// ACGT codes per sequence, then pack straight from ASCII into the
+// little-endian 2-bit layout in one scan — non-ACGT bytes are skipped
+// (compacted), matching encode.pyx:8-12 semantics exactly.
+
+// Per-sequence count of valid (ACGT/acgt) characters.
+void fqc_count_codes(const uint8_t* data, const int64_t* offsets, long n,
+                     int32_t* n_codes) {
+    for (long i = 0; i < n; ++i) {
+        const uint8_t* p = data + offsets[i];
+        const long len = (long)(offsets[i + 1] - offsets[i]);
+        long c = 0;
+        for (long j = 0; j < len; ++j) c += LUT[p[j]] < 4;
+        n_codes[i] = (int32_t)c;
+    }
+}
+
+// Pack sequence i into out[i * packed_cols ..], 4 bases/byte
+// little-endian, zero-padded.  out must be zeroed by the caller (numpy
+// zeros).  n_codes comes from fqc_count_codes: when a sequence is all
+// ACGT (n_codes == length, the overwhelmingly common case) a
+// branchless 4-bases→1-byte loop runs; otherwise a scalar loop skips
+// invalid bytes.  Rows are independent → threaded over row ranges.
+void fqc_pack_codes(const uint8_t* data, const int64_t* offsets,
+                    const int32_t* n_codes, long n, long packed_cols,
+                    uint8_t* out, int n_threads) {
+    auto work = [&](long lo, long hi) {
+        for (long i = lo; i < hi; ++i) {
+            uint8_t* row = out + (size_t)i * (size_t)packed_cols;
+            const uint8_t* p = data + offsets[i];
+            long len = (long)(offsets[i + 1] - offsets[i]);
+            const long cap = packed_cols * 4;
+            if ((long)n_codes[i] == len) {  // clean: branchless fast path
+                if (len > cap) len = cap;
+                const long groups = len >> 2;
+                for (long j = 0; j < groups; ++j, p += 4)
+                    row[j] = (uint8_t)(LUT[p[0]] | (LUT[p[1]] << 2) |
+                                       (LUT[p[2]] << 4) | (LUT[p[3]] << 6));
+                uint8_t acc = 0;
+                for (long r = 0; r < (len & 3); ++r)
+                    acc |= (uint8_t)(LUT[p[r]] << (r * 2));
+                if (len & 3) row[groups] = acc;
+                continue;
+            }
+            long idx = 0;
+            uint8_t acc = 0;
+            for (long j = 0; j < len; ++j) {
+                uint8_t c = LUT[p[j]];
+                if (c >= 4) continue;
+                acc |= (uint8_t)(c << ((idx & 3) * 2));
+                if ((idx & 3) == 3) {
+                    row[idx >> 2] = acc;
+                    acc = 0;
+                }
+                if (++idx >= cap) break;
+            }
+            if (idx & 3) row[idx >> 2] = acc;
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw && n_threads > (int)hw) n_threads = (int)hw;
+    if (n_threads <= 1 || n < 2 * n_threads) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long per = (n + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; ++t) {
+        long lo = (long)t * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        ts.emplace_back(work, lo, hi);
+    }
+    work(0, per < n ? per : n);  // caller thread takes the first range
+    for (auto& t : ts) t.join();
 }
 
 }  // extern "C"

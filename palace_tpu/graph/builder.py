@@ -36,7 +36,7 @@ from palace_tpu.io.bam import (
     FLAG_UNMAP,
     BamFile,
     BamRecord,
-    read_bam,
+    BamStream,
 )
 from palace_tpu.io.fastg import parse_fastg_pairs
 from palace_tpu.io.graph_io import Graph, JuncRecord, SegRecord
@@ -257,8 +257,11 @@ def build_graph_from_bam(
     avg_depth: float,
     params: GraphParams | None = None,
 ) -> Graph:
-    if not isinstance(bam, BamFile):
-        bam = read_bam(bam)
+    if isinstance(bam, BamFile):
+        records = bam.records
+    else:  # stream: constant memory (generate_graph.cpp:644 sam_read1 loop)
+        bam = BamStream(bam)
+        records = bam
     p = params or GraphParams()
     fastg_pairs = parse_fastg_pairs(fastg_fai)
     name_to_tid = bam.name_to_tid()
@@ -268,7 +271,7 @@ def build_graph_from_bam(
     agg: Dict[Tuple[str, str, str, str], AggStats] = {}
     processed_paired: Set[str] = set()
 
-    for rec in bam.records:
+    for rec in records:
         f = rec.flag
         if f & (FLAG_SUPPLEMENTARY | FLAG_SECONDARY | FLAG_UNMAP):
             continue

@@ -24,7 +24,7 @@ from palace_tpu.io.bam import (
     FLAG_SECONDARY,
     FLAG_UNMAP,
     BamFile,
-    read_bam,
+    BamStream,
 )
 
 _COVERING_OPS = set("MDN=X")
@@ -93,13 +93,16 @@ class DepthStore:
 
 
 def compute_depth(bam: BamFile | str | Path) -> DepthStore:
-    if not isinstance(bam, BamFile):
-        bam = read_bam(bam)
+    if isinstance(bam, BamFile):
+        records = bam.records
+    else:  # stream: constant memory
+        bam = BamStream(bam)
+        records = bam
     store = DepthStore()
     for name, length in bam.references:
         store.arrays[name] = np.zeros(length, np.int32)
     skip = FLAG_UNMAP | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP
-    for rec in bam.records:
+    for rec in records:
         if rec.flag & skip or rec.tid < 0:
             continue
         name = bam.references[rec.tid][0]

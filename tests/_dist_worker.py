@@ -1,0 +1,82 @@
+"""Worker process for the real two-process jax.distributed test
+(tests/test_distributed.py::test_two_process_sharded_count_table).
+
+Each of the two CPU processes contributes half of a global hash batch
+(SURVEY.md §4 "multi-host without a cluster": jax.distributed with a
+localhost coordinator + --xla_force_host_platform_device_count).  The
+ShardedCountTable is built from the per-process local shards via
+``global_array_from_local`` — no process ever holds the global batch —
+and every process fetches the replicated lookup result, which the
+parent asserts equal to the single-process CountTable answer.
+
+Usage: _dist_worker.py <coordinator_port> <process_id> <num_processes> <outdir>
+(parent sets JAX_PLATFORMS=cpu and XLA_FLAGS device_count before spawn).
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    port, pid, nprocs, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), Path(sys.argv[4])
+    )
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    # the axon sitecustomize forces the TPU platform at interpreter
+    # start; env alone doesn't win (same workaround as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    # CPU multi-process needs a cross-process collectives impl; without
+    # it each process forms its own single-process topology.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs, process_id=pid,
+    )
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from palace_tpu.ops.count_table import ShardedCountTable
+    from palace_tpu.parallel.distributed import global_array_from_local
+
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    k = 18
+    rng = np.random.default_rng(7)
+    global_hashes = rng.integers(1, 2 ** k, size=512, dtype=np.uint32)
+    global_hashes[::3] = global_hashes[1]  # heavy repeats → saturation
+    per = global_hashes.size // nprocs
+    local = global_hashes[pid * per : (pid + 1) * per]
+
+    g = global_array_from_local(local, mesh, P("data"))
+    table = ShardedCountTable.create(mesh, k)
+    table = table.add_kmers(g)
+
+    queries = np.concatenate(
+        [global_hashes[:64], np.asarray([0, 5], np.uint32)]  # 0 = miss slot
+    )
+    q = jax.device_put(
+        jax.numpy.asarray(queries), NamedSharding(mesh, P())
+    )
+    counts = table.lookup(q)
+    # lookup out-spec is replicated → every process holds a full copy
+    host = np.asarray(jax.device_get(counts), dtype=np.uint8)
+    (outdir / f"counts_p{pid}.json").write_text(json.dumps(host.tolist()))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

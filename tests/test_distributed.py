@@ -35,6 +35,61 @@ def test_record_striping_partitions():
     assert sorted(sum(owners, [])) == list(range(100))
 
 
+def test_two_process_sharded_count_table(tmp_path):
+    """REAL multi-process: 2 CPU processes × 2 virtual devices each,
+    jax.distributed over a localhost coordinator.  Each process holds
+    half the hash batch; the sharded table built from local shards must
+    answer lookups identically to a single-process CountTable."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "_dist_worker.py"
+    with socket.socket() as s:  # free localhost port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_NUM_PROCESSES", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid), "2",
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    got = [
+        np.asarray(json.loads((tmp_path / f"counts_p{pid}.json").read_text()),
+                   dtype=np.uint8)
+        for pid in range(2)
+    ]
+    np.testing.assert_array_equal(got[0], got[1])  # replicated answer
+
+    # single-process oracle over the same global batch
+    from palace_tpu.ops.count_table import CountTable
+
+    k = 18
+    rng = np.random.default_rng(7)
+    global_hashes = rng.integers(1, 2 ** k, size=512, dtype=np.uint32)
+    global_hashes[::3] = global_hashes[1]
+    table = CountTable.create(k)
+    table = table.add_kmers(jax.numpy.asarray(global_hashes))
+    queries = np.concatenate([global_hashes[:64], np.asarray([0, 5], np.uint32)])
+    want = np.asarray(table.lookup(jax.numpy.asarray(queries)), dtype=np.uint8)
+    np.testing.assert_array_equal(got[0], want)
+
+
 def test_global_array_from_local(eight_devices):
     mesh = make_mesh(8, model_parallel=1)
     local = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)

