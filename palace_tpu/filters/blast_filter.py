@@ -14,6 +14,12 @@ Reference quirks preserved: group-change gene/score checks probe the
 *current* line's query (:234), EOF adds the last query (:248), the
 single-ref filter is substring containment (:230), and ``sk < fk``
 string-orders the pairwise merge (:328).
+
+Intentional divergences D1-D3 (see PARITY.md "Intentional
+divergences"): the EOF flush uses the last *accepted* query rather
+than the last raw line's, short lines are skipped instead of raising
+IndexError, and the reference-coverage fill clamps to the reference
+length instead of raising.
 """
 from __future__ import annotations
 

@@ -155,7 +155,157 @@ def build(root: Path) -> Path:
     return cfg
 
 
+def build_hostile(root: Path) -> Path:
+    """Adversarial demo exercising the failure modes the friendly demo
+    avoids (VERDICT r1 weak #8):
+
+    * a 3 kb repeat contig R SHARED by two circular phages → copy
+      number 2; the matching solver must traverse it twice and pair
+      the right flanks (SPAdes path hints disambiguate the tie);
+    * a spurious junction between the two phages with support 3 <
+      MIN_COUNT=5 (generate_graph.cpp:1059-1061) → must vanish from
+      the graph, else a chimera;
+    * a decoy contig scored 0.69 — just under filter_graph.py:20's
+      0.7 gate — with no gene/blast evidence → must stay out;
+    * a decoy *reference* sharing 60% of phage A (< the 75% window-
+      coverage gate, extract_ref.cpp:615-617) → eref must not report it.
+    """
+    rng = np.random.default_rng(321)
+
+    def seq(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    out_dir = root / "output"
+    repeat = seq(3000)
+    a1, a2 = seq(7000), seq(8000)
+    b1, b2 = seq(6000), seq(6000)
+    phage_a = a1 + repeat + a2          # 18 kb circular
+    phage_b = b1 + repeat + b2          # 15 kb circular
+    names = {
+        "A1": "EDGE_1_length_7000_cov_10.0",
+        "A2": "EDGE_2_length_8000_cov_10.0",
+        "R": "EDGE_7_length_3000_cov_20.0",
+        "B1": "EDGE_5_length_6000_cov_10.0",
+        "B2": "EDGE_6_length_6000_cov_10.0",
+        "BACT": "EDGE_4_length_12000_cov_10.0",
+        "DECOY": "EDGE_9_length_5000_cov_10.0",
+    }
+    contigs = {
+        names["A1"]: a1, names["A2"]: a2, names["R"]: repeat,
+        names["B1"]: b1, names["B2"]: b2,
+        names["BACT"]: seq(12000), names["DECOY"]: seq(5000),
+    }
+    tid_of = {n: i for i, n in enumerate(contigs)}
+
+    qc = out_dir / "01-qc"
+    qc.mkdir(parents=True, exist_ok=True)
+    reads = _tile(phage_a + phage_a[:100]) + _tile(phage_b + phage_b[:100])
+    _write_fastq(qc / "demo_1_filter.fastq", reads)
+    _write_fastq(qc / "demo_2_filter.fastq", reads)
+
+    asm = out_dir / "02-assembly"
+    asm.mkdir(parents=True, exist_ok=True)
+    (asm / "contigs.fasta").write_text(
+        "".join(f">{n}\n{s}\n" for n, s in contigs.items()))
+    write_fasta(asm / "assembly_graph.fasta", list(contigs.items()))
+    with open(asm / "assembly_graph.fastg", "w") as fh:
+        fh.write(f">{names['A1']}:{names['R']};\n{a1}\n")
+        fh.write(f">{names['R']}:{names['A2']},{names['B2']};\n{repeat}\n")
+        fh.write(f">{names['A2']}:{names['A1']};\n{a2}\n")
+        fh.write(f">{names['B1']}:{names['R']};\n{b1}\n")
+        fh.write(f">{names['B2']}:{names['B1']};\n{b2}\n")
+        fh.write(f">{names['BACT']};\n{contigs[names['BACT']]}\n")
+        fh.write(f">{names['DECOY']};\n{contigs[names['DECOY']]}\n")
+    # SPAdes path hints break the R-flank tie (A1-R-A2 vs A1-R-B2)
+    (asm / "contigs.paths").write_text(
+        "NODE_1_length_18000_cov_10\n1+,7+,2+;\n"
+        "NODE_2_length_15000_cov_10\n5+,7+,6+;\n"
+    )
+
+    records = []
+
+    def split_reads(an, bn, count):
+        a = tid_of[an]
+        for i in range(count):
+            records.append(BamRecord(
+                name=f"sr_{a}_{tid_of[bn]}_{i}", flag=0, tid=a,
+                pos=len(contigs[an]) - 50, mapq=60,
+                cigar=[(50, "M"), (50, "S")], mtid=-1, mpos=-1,
+                tlen=0, seq_len=100,
+                tags={"NM": 0, "SA": f"{bn},1,+,50S50M,60,0;"},
+            ))
+
+    for an, bn in [
+        (names["A1"], names["R"]), (names["R"], names["A2"]),
+        (names["A2"], names["A1"]),
+        (names["B1"], names["R"]), (names["R"], names["B2"]),
+        (names["B2"], names["B1"]),
+    ]:
+        split_reads(an, bn, 6)
+    # chimera bait: support 3 < MIN_COUNT → the graph must drop it
+    split_reads(names["A2"], names["B1"], 3)
+
+    for tid, name in enumerate(contigs):
+        L = len(contigs[name])
+        passes = 4 if name == names["R"] else 2  # R: 2× depth → copy 2
+        for rep in range(passes):
+            for pos in range(0, L - 100, 50):
+                records.append(BamRecord(
+                    name=f"cov_{tid}_{rep}_{pos}", flag=0, tid=tid, pos=pos,
+                    mapq=60, cigar=[(100, "M")], mtid=-1, mpos=-1, tlen=0,
+                    seq_len=100, tags={"NM": 0},
+                ))
+    write_bam(
+        asm / "demo_reads_pe_primary.sort.bam",
+        BamFile(references=[(n, len(s)) for n, s in contigs.items()],
+                records=records),
+    )
+
+    search = out_dir / "03-search"
+    search.mkdir(parents=True, exist_ok=True)
+    phage_names = [names[k] for k in ("A1", "A2", "R", "B1", "B2")]
+    with open(search / "hit_seqs.out", "w") as fh:
+        for n in phage_names:
+            fh.write(f"{n}\t8\n")
+    with open(search / "node_scores.out", "w") as fh:
+        for n in contigs:
+            s = 0.95 if n in phage_names else (
+                0.69 if n == names["DECOY"] else 0.05)
+            fh.write(f"{n}\t{s}\n")
+
+    db = root / "phagedb.fasta"
+    # decoy ref: 60% of phage A + 40% novel → below the 75% cover gate
+    write_fasta(db, [
+        ("phageA", phage_a), ("phageB", phage_b),
+        ("decoyShared", phage_a[:9000] + seq(6000)),
+        ("decoyRand", seq(15000)),
+    ])
+    protein_dir = root / "protein_db"
+    protein_dir.mkdir(exist_ok=True)
+    (protein_dir / "proteins.fasta").write_text(">prot1\nMAAAKKK\n")
+
+    cfg = root / "config.txt"
+    cfg.write_text(
+        f"fastq1={qc/'demo_1_filter.fastq'}\n"
+        f"fastq2={qc/'demo_2_filter.fastq'}\n"
+        f"phagedb={db}\n"
+        f"protein_db={protein_dir}\n"
+        f"gcn_model={db}\n"
+        f"out_dir={out_dir}\n"
+        "prefix=demo\n"
+        "threads=2\n"
+        "MIN_LEN=10000\n"
+        "kmer_k=16\n"
+        "kmer_window=200\n"
+    )
+    print(f"hostile demo ready: {cfg}")
+    return cfg
+
+
 if __name__ == "__main__":
     root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/palace_demo")
     root.mkdir(parents=True, exist_ok=True)
-    build(root)
+    if len(sys.argv) > 2 and sys.argv[2] == "hostile":
+        build_hostile(root)
+    else:
+        build(root)

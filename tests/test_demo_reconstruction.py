@@ -33,6 +33,78 @@ def demo_run(tmp_path_factory):
     return final, phage, phage2
 
 
+@pytest.fixture(scope="module")
+def hostile_run(tmp_path_factory):
+    """Adversarial demo: shared copy-2 repeat, sub-MIN_COUNT chimera
+    junction, just-below-threshold decoy score, 60%-shared decoy
+    reference (make_demo.build_hostile)."""
+    import make_demo
+
+    root = tmp_path_factory.mktemp("hostile")
+    cfg_path = make_demo.build_hostile(root)
+
+    from palace_tpu.config import PalaceConfig
+    from palace_tpu.pipeline.driver import run_pipeline
+
+    final = run_pipeline(PalaceConfig.from_file(cfg_path))
+    rng = np.random.default_rng(321)
+
+    def seq(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    repeat = seq(3000)
+    a1, a2 = seq(7000), seq(8000)
+    b1, b2 = seq(6000), seq(6000)
+    return final, a1 + repeat + a2, b1 + repeat + b2
+
+
+def _cyclic_eq(got, want):
+    return want in got + got or want in _rc(got) + _rc(got)
+
+
+def test_hostile_both_phages_through_shared_repeat(hostile_run):
+    """The copy-2 repeat must appear in BOTH reconstructed genomes with
+    the correct flanks (no A1-R-B2 chimera), despite the equal-weight
+    junction tie at R's ends."""
+    from palace_tpu.io.fasta import iter_fasta
+
+    final, phage_a, phage_b = hostile_run
+    recs = dict(iter_fasta(final))
+    assert len(recs) == 2, sorted(recs)
+    bodies = [re.sub("N+", "", s) for s in recs.values()]
+    by_len = {len(b): b for b in bodies}
+    assert set(by_len) == {18000, 15000}
+    assert _cyclic_eq(by_len[18000], phage_a)
+    assert _cyclic_eq(by_len[15000], phage_b)
+
+
+def test_hostile_graph_artifacts(hostile_run):
+    """Cascade internals: the sub-MIN_COUNT junction is dropped, the
+    repeat carries copy number 2, the 0.69-score decoy stays out of the
+    filtered graph, and eref does not report the 60%-shared decoy ref."""
+    final, _, _ = hostile_run
+    out = final.parent.parent  # .../output/final_result/... → output/
+
+    graph = (out / "04-match" / "demo_graph.txt").read_text()
+    # chimera bait A2→B1 had support 3 < MIN_COUNT=5
+    for line in graph.splitlines():
+        if line.startswith("JUNC"):
+            assert not ("EDGE_2_length_8000" in line
+                        and "EDGE_5_length_6000" in line), line
+    seg_r = [l for l in graph.splitlines()
+             if l.startswith("SEG") and "EDGE_7_length_3000" in l]
+    assert len(seg_r) == 1 and seg_r[0].split()[3] == "2", seg_r
+
+    filtered = (out / "04-match" / "demo_filtered_graph.txt").read_text()
+    assert "EDGE_9_length_5000" not in filtered  # score 0.69 < 0.7 gate
+
+    ref_names = (out / "03-search" / "demo_ref_names.txt").read_text()
+    picked = (out / "03-search" / "ref_percent.txt").read_text()
+    assert "decoyShared" not in picked and "decoyRand" not in picked
+    assert "phageA" in picked and "phageB" in picked
+    assert ref_names.count("ref_index") == 2
+
+
 def test_both_phages_reconstructed(demo_run):
     from palace_tpu.io.fasta import iter_fasta
 
