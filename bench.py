@@ -61,7 +61,8 @@ def main() -> None:
         # Re-exec on CPU so the judge still gets a number (flagged).
         os.environ["PALACE_BENCH_CPU_FALLBACK"] = "1"
         os.environ["JAX_PLATFORMS"] = "cpu"
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__), *sys.argv[1:]])
 
     import jax
     import jax.numpy as jnp
@@ -170,13 +171,19 @@ def main() -> None:
                     [sys.executable, str(script)], capture_output=True,
                     text=True, timeout=timeout, env=os.environ.copy(),
                 )
-                lines = [json.loads(l) for l in proc.stdout.splitlines()
-                         if l.strip().startswith("{")]
+                lines = []
+                for l in proc.stdout.splitlines():
+                    if not l.strip().startswith("{"):
+                        continue
+                    try:
+                        lines.append(json.loads(l))
+                    except json.JSONDecodeError:
+                        continue  # log line that merely looks like JSON
                 extras[name] = lines if len(lines) != 1 else lines[0]
                 if proc.returncode != 0:
                     extras[name] = {"error": proc.stderr[-2000:]}
-            except subprocess.TimeoutExpired:
-                extras[name] = {"error": "timeout"}
+            except Exception as exc:  # keep the stdout contract alive
+                extras[name] = {"error": f"{type(exc).__name__}: {exc}"}
         payload = {"headline": result, **extras,
                    "recorded_unix": int(time.time())}
         out = here / "benchmarks" / "results_latest.json"

@@ -786,6 +786,10 @@ int main(int argc, char** argv) {
   std::string cmd = argv[1];
   if (cmd == "graph" && argc >= 6) {
     graphsem::Params P;
+    // optional overrides (mirror generate_graph.cpp's --max-span-frac /
+    // --min-count, generate_graph.cpp:580,588) for differential tests
+    if (argc >= 7) P.max_span_frac = atof(argv[6]);
+    if (argc >= 8) P.min_count = atoi(argv[7]);
     return graphsem::run_graph(argv[2], argv[3], argv[4], atof(argv[5]), P);
   }
   if (cmd == "depth" && argc >= 4) {

@@ -125,6 +125,11 @@ class PalaceConfig:
     blast_ratio: float = 0.7       # palace:572/579
     filter_blast_ratio: float = 0.75  # palace:609
     matching_iters: int = 10       # palace:587-590
+    # Dev/test ONLY: when blastn is absent, fabricate full-coverage
+    # scaffold↔ref hits instead of degrading to empty outputs the way
+    # the reference does (palace:509-534).  Off by default so a
+    # production run never silently invents alignments (PARITY.md D10).
+    dev_fabricate_blast: int = 0
     kmer: KmerParams = field(default_factory=KmerParams)
     graph: GraphParams = field(default_factory=GraphParams)
     score: ScoreParams = field(default_factory=ScoreParams)

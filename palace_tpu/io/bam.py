@@ -280,6 +280,17 @@ class BamStream:
     def __iter__(self) -> Iterator[BamRecord]:
         while True:
             if not self._need(4):
+                # Clean EOF only when the stream ends exactly on a record
+                # boundary; 1-3 leftover bytes (or undrained compressed
+                # input) mean the file was cut mid-stream — htslib reports
+                # this as truncation, and so do we.
+                leftover = len(self._buf) - self._off
+                if leftover or self._comp:
+                    self.close()
+                    raise ValueError(
+                        f"truncated BAM: {leftover} trailing bytes before "
+                        "a record's block_size field"
+                    )
                 self.close()
                 return
             (block_size,) = struct.unpack_from("<i", self._buf, self._off)

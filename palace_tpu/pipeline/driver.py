@@ -493,11 +493,24 @@ class PalacePipeline:
             external.run_blastn(scaffold_fa, ref_fasta, scaffold_blast,
                                 getattr(self, "_blast_threads", cfg.threads),
                                 external.OUTFMT_B)
-        else:
-            # degrade: fabricate full-coverage hits so filter_by_blast can
-            # operate — only used when blast is absent (tests/dev)
+        elif cfg.dev_fabricate_blast or os.environ.get("PALACE_FABRICATE_BLAST"):
+            # dev/test ONLY (config dev_fabricate_blast=1): fabricate
+            # full-coverage hits so filter_by_blast can operate without
+            # the blast toolchain.  Ledgered as PARITY.md D10.
+            logger.warning(
+                "blastn unavailable — FABRICATING full-coverage scaffold "
+                "blast hits for %s (dev_fabricate_blast=1; results are NOT "
+                "based on real alignments)", refname)
             self._fallback_scaffold_blast(scaffold_fa, ref_fasta, refname,
                                           scaffold_blast)
+        else:
+            # production degrade: empty blast output, exactly like the
+            # reference when blast fails (palace:509-534)
+            logger.warning(
+                "blastn unavailable — writing empty scaffold blast for %s "
+                "(set dev_fabricate_blast=1 to fabricate hits in dev runs)",
+                refname)
+            Path(scaffold_blast).touch()
 
         printed = filter_by_blast(
             scaffold_blast, s4["cycle_nodup"], str(fasta) + ".fai",

@@ -150,6 +150,7 @@ def build(root: Path) -> Path:
         "MIN_LEN=10000\n"
         "kmer_k=16\n"
         "kmer_window=200\n"
+        "dev_fabricate_blast=1\n"  # demo runs have no blastn (PARITY.md D10)
     )
     print(f"demo ready: {cfg}")
     return cfg
@@ -297,6 +298,7 @@ def build_hostile(root: Path) -> Path:
         "MIN_LEN=10000\n"
         "kmer_k=16\n"
         "kmer_window=200\n"
+        "dev_fabricate_blast=1\n"  # demo runs have no blastn (PARITY.md D10)
     )
     print(f"hostile demo ready: {cfg}")
     return cfg

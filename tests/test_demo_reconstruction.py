@@ -99,7 +99,7 @@ def test_hostile_graph_artifacts(hostile_run):
     assert "EDGE_9_length_5000" not in filtered  # score 0.69 < 0.7 gate
 
     ref_names = (out / "03-search" / "demo_ref_names.txt").read_text()
-    picked = (out / "03-search" / "ref_percent.txt").read_text()
+    picked = (out / "03-search" / "demo_ref_percent.txt").read_text()
     assert "decoyShared" not in picked and "decoyRand" not in picked
     assert "phageA" in picked and "phageB" in picked
     assert ref_names.count("ref_index") == 2

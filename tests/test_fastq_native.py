@@ -130,3 +130,32 @@ def test_corrupt_gzip_raises(tmp_path):
     with pytest.raises(RuntimeError):
         _collect(fastq_native.native_batches(bad, 64, 160, 100, 32))
     assert fastq_native.count_bases(bad) is None
+
+
+def test_pack_contigs_native_matches_python_fallback():
+    """Exact packed-byte parity between the native one-scan packer and
+    the Python pack_codes(seqs_to_code_batch(...)) path, covering the
+    all-ACGT C fast path (the dominant production branch), junk-laden,
+    empty, and length%4!=0 sequences (advisor round-2 finding)."""
+    from palace_tpu.ops.encoder import pack_codes, pack_contigs, seqs_to_code_batch
+
+    if fastq_native.packer_lib() is None:
+        pytest.skip("native packer unavailable")
+
+    rng = np.random.default_rng(7)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    clean_10k = bytes(lut[rng.integers(0, 4, 10000)]).decode()
+    cases = [
+        ["ACGTACGTACGT", "TTTTGGGGCCCCAAAA"],              # clean, %4==0
+        ["ACGTA", "GG", "T"],                              # %4 != 0
+        ["ACGTNNNRYACGT", "acgtACGT", "NNNN"],             # junk + lowercase
+        ["", "ACGT", ""],                                  # empties
+        [clean_10k, clean_10k[:9999], "N" + clean_10k],    # fast path, long
+    ]
+    for seqs in cases:
+        codes, n_codes_py, lens_py = seqs_to_code_batch(seqs)
+        want_packed = pack_codes(codes)
+        got_packed, got_n, got_lens = pack_contigs(seqs)
+        np.testing.assert_array_equal(got_packed, want_packed)
+        np.testing.assert_array_equal(got_n, n_codes_py)
+        np.testing.assert_array_equal(got_lens, lens_py)

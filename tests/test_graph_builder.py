@@ -284,3 +284,60 @@ def test_native_matches_python(tmp_path):
     cc_depth = tmp_path / "cc.depth"
     subprocess.run([str(binary), "depth", str(bam_path), str(cc_depth)], check=True)
     assert open(cc_depth).read() == open(py_depth).read()
+
+
+def test_bam_stream_truncation_raises(tmp_path):
+    """A BAM cut between records (1-3 stray bytes before the next
+    block_size field) must raise, not end cleanly — htslib reports
+    truncation (advisor round-2 finding).  A cut exactly on a record
+    boundary is indistinguishable from EOF in raw BGZF-less payload
+    terms, but stray trailing bytes never are."""
+    import gzip
+
+    from palace_tpu.io.bam import BamStream
+
+    records = [
+        _rec(f"r{i}", 0, 0, i + 1, [(40, "M")], tags={"NM": 0})
+        for i in range(20)
+    ]
+    path = tmp_path / "t.bam"
+    write_bam(path, BamFile(references=list(REFS), records=records))
+
+    # recover the decompressed payload and record boundaries
+    payload = gzip.decompress(path.read_bytes())
+    with BamStream(path) as s:
+        hdr_end = None  # find header end by re-parsing record sizes
+    import struct as _struct
+    off = 8
+    (l_text,) = _struct.unpack_from("<i", payload, 4)
+    off += l_text
+    (n_ref,) = _struct.unpack_from("<i", payload, off)
+    off += 4
+    for _ in range(n_ref):
+        (l_name,) = _struct.unpack_from("<i", payload, off)
+        off += 4 + l_name + 4
+    boundaries = [off]
+    while off < len(payload):
+        (bs,) = _struct.unpack_from("<i", payload, off)
+        off += 4 + bs
+        boundaries.append(off)
+
+    # cut leaving 2 stray bytes after the 5th record → must raise
+    bad = tmp_path / "cut.bam"
+    bad.write_bytes(gzip.compress(payload[: boundaries[5] + 2]))
+    with pytest.raises(ValueError, match="truncated"):
+        with BamStream(bad) as s:
+            list(s)
+
+    # cut mid-record body (block_size present, body short) → must raise
+    bad2 = tmp_path / "cut2.bam"
+    bad2.write_bytes(gzip.compress(payload[: boundaries[5] + 10]))
+    with pytest.raises(ValueError, match="truncated"):
+        with BamStream(bad2) as s:
+            list(s)
+
+    # cut exactly on a record boundary → parses the prefix cleanly
+    ok = tmp_path / "prefix.bam"
+    ok.write_bytes(gzip.compress(payload[: boundaries[5]]))
+    with BamStream(ok) as s:
+        assert len(list(s)) == 5
