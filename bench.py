@@ -145,11 +145,18 @@ def main() -> None:
         if baseline.get("value"):
             vs_baseline = throughput / float(baseline["value"])
 
+    # MFU attribution (benchmarks/ANALYSIS.md): ~1.7 GF/contig of dense
+    # work; v5e peak 197 TF/s bf16 / ~99 TF/s f32-equivalent
+    gf_per_contig = 1.7
+    peak_tf = 197.0 if dtype == jnp.bfloat16 else 99.0
+    mfu = throughput * gf_per_contig / (peak_tf * 1e3)
+
     result = {
         "metric": "contigs_scored_per_sec_per_chip",
         "value": round(throughput, 3),
         "unit": "contigs/s",
         "vs_baseline": round(vs_baseline, 3),
+        "mfu": round(mfu, 4),
     }
     if note:
         result["note"] = note

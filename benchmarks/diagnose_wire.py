@@ -42,6 +42,10 @@ def median(xs):
     return statistics.median(xs)
 
 
+def note(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -66,7 +70,12 @@ def main() -> None:
 
     out = {"reps": REPS, "batch": BATCH, "nbatch": NBATCH,
            "contig_len": CONTIG_LEN}
+    path = Path(__file__).parent / "wire_diagnosis.json"
 
+    def save():  # partial results survive a timeout
+        path.write_text(json.dumps(out, indent=1) + "\n")
+
+    note("packing section")
     # ---- pack: host packer rate -----------------------------------------
     ts = []
     for _ in range(REPS):
@@ -78,6 +87,8 @@ def main() -> None:
     payload_bytes = sum(p[0].nbytes + p[1].nbytes + p[2].nbytes for p in packs)
     out["payload_mb_per_batch"] = payload_bytes / NBATCH / 1e6
 
+    save()
+    note("rtt section")
     # ---- rtt: tiny round-trip -------------------------------------------
     one = jnp.ones((8,), jnp.float32)
     tiny = jax.jit(lambda x: x.sum())
@@ -89,6 +100,8 @@ def main() -> None:
         ts.append(time.perf_counter() - t0)
     out["rtt_ms"] = median(ts) * 1e3
 
+    save()
+    note("wire_put section")
     # ---- wire_put: sustained host→device at bench payload ----------------
     # Queue all NBATCH transfers, then force completion by summing one
     # element from each on device and fetching the (fresh) scalar.
@@ -112,6 +125,8 @@ def main() -> None:
     out["wire_put_mb_per_s"] = total_mb / median(ts)
     out["wire_put_s_per_batch"] = median(ts) / NBATCH
 
+    save()
+    note("device section (GCN compile ~1-2 min)")
     # ---- device: all inputs pre-staged ----------------------------------
     staged = [(jax.device_put(p[0]), jax.device_put(p[1]), jax.device_put(p[2]))
               for p in packs]
@@ -128,6 +143,8 @@ def main() -> None:
     out["device_contigs_per_s"] = NBATCH * BATCH / median(ts)
     out["device_ms_per_batch"] = median(ts) / NBATCH * 1e3
 
+    save()
+    note("e2e section")
     # ---- e2e: current bench loop (ship per batch, no pack pipeline) ------
     ts = []
     for r in range(REPS):
@@ -140,8 +157,11 @@ def main() -> None:
         ts.append(time.perf_counter() - t0)
     out["e2e_ship_contigs_per_s"] = NBATCH * BATCH / median(ts)
 
+    save()
+    note("fusedK section (fresh compiles)")
     # ---- fusedK: K batches per transfer+dispatch, lax.map on device ------
     for K in (4, 8):
+        note(f"compiling fused{K}")
         @jax.jit
         def score_k(pk, nc, ln):
             def body(args):
@@ -165,9 +185,9 @@ def main() -> None:
             np.asarray(last)
             ts.append(time.perf_counter() - t0)
         out[f"fused{K}_contigs_per_s"] = NBATCH * BATCH / median(ts)
+        save()
 
-    path = Path(__file__).parent / "wire_diagnosis.json"
-    path.write_text(json.dumps(out, indent=1) + "\n")
+    save()
     for k, v in out.items():
         print(f"{k:28s} {v:.3f}" if isinstance(v, float) else f"{k:28s} {v}")
 

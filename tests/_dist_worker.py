@@ -9,8 +9,16 @@ ShardedCountTable is built from the per-process local shards via
 and every process fetches the replicated lookup result, which the
 parent asserts equal to the single-process CountTable answer.
 
-Usage: _dist_worker.py <coordinator_port> <process_id> <num_processes> <outdir>
+Usage: _dist_worker.py <coordinator_port> <process_id> <num_processes> <outdir> [mode]
 (parent sets JAX_PLATFORMS=cpu and XLA_FLAGS device_count before spawn).
+
+Modes:
+  table  (default) — sharded count-table add_kmers/lookup parity piece
+  eref             — FULL ``run_search_distributed``: per-process
+                     striped FASTQ → global sharded table → sharded
+                     fused Phase-B scan → ref_index artifact (VERDICT
+                     r2 missing #3); expects refs.fasta / reads_1.fastq
+                     / reads_2.fastq pre-staged in <outdir>.
 """
 from __future__ import annotations
 
@@ -25,6 +33,7 @@ def main() -> None:
     port, pid, nprocs, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), Path(sys.argv[4])
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "table"
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -53,6 +62,22 @@ def main() -> None:
     assert jax.process_count() == nprocs, jax.process_count()
     assert jax.local_device_count() == 2, jax.local_device_count()
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    if mode == "eref":
+        from palace_tpu.config import KmerParams
+        from palace_tpu.search.eref import run_search_distributed
+        from palace_tpu.search.index import build_index
+
+        params = KmerParams(k=18, window=64)
+        index = build_index(outdir / "refs.fasta", k=params.k, save=False)
+        hits = run_search_distributed(
+            [outdir / "reads_1.fastq", outdir / "reads_2.fastq"],
+            index, params, outdir / "dist_ref_names.txt", mesh,
+        )
+        (outdir / f"hits_p{pid}.json").write_text(
+            json.dumps([h.line() for h in hits]))
+        jax.distributed.shutdown()
+        return
 
     k = 18
     rng = np.random.default_rng(7)

@@ -1,6 +1,7 @@
 """bench.py must print exactly one JSON line with the driver-contract
 keys, even without a healthy TPU (CPU-forced here to stay hermetic)."""
 import json
+import pytest
 import os
 import subprocess
 import sys
@@ -29,3 +30,20 @@ def test_bench_json_contract():
     assert rec["unit"] == "contigs/s"
     assert rec["value"] > 0
     assert "vs_baseline" in rec
+
+
+def test_wheel_smoke():
+    """Build the wheel, install into a scratch --target site, and prove
+    the native artifacts + stage CLI work OUTSIDE the repo checkout
+    (VERDICT r2 #10; scripts/wheel_smoke.sh)."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    script = Path(__file__).parent.parent / "scripts" / "wheel_smoke.sh"
+    res = subprocess.run(["bash", str(script)], capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, f"{res.stdout}\n{res.stderr}"
+    assert "WHEEL SMOKE TEST PASSED" in res.stdout
