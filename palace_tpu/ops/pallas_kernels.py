@@ -94,27 +94,26 @@ def _transition_kernel(src_ref, d0_ref, d1_ref, d2_ref, nloc_ref, out_ref,
     # while the MXU runs at its bf16 rate.
     onehot_src = (src == codes).astype(jnp.bfloat16)  # (64, T)
 
-    # Fuse the 3 gaps into ONE (192, T) dst one-hot so the kernel issues
-    # a single (64×T)·(T×192) matmul per tile instead of three skinny
-    # 64×64 ones.  The validity mask (pair (i, i+shift) valid iff
-    # i < n - shift, encode.pyx:33) depends on the gap, so it is folded
-    # into the dst side, which differs per gap anyway.
-    dst_rows = []
+    # This kernel is VPU-bound (one-hot construction), not MXU-bound, so
+    # the win is minimising (64, T)-shaped vector work:
+    #  * the per-gap validity mask (pair (i, i+shift) valid iff
+    #    i < n - shift, encode.pyx:33) is folded into the (1, T) CODE
+    #    row as an out-of-range sentinel — one cheap 1-row select
+    #    instead of a (64, T) AND per gap;
+    #  * each gap issues its own (64,T)·(T,64) dot straight into its
+    #    accumulator slice — no (192, T) concat copy.  Three such dots
+    #    cost the MXU ~nothing at these shapes.
     for d, dref in zip(GAPS, (d0_ref, d1_ref, d2_ref)):
         shift = K + d
         dst = dref[0, 0, 0:1, :]  # (1, T)
-        mask = pos < n - shift  # (1, T)
-        dst_rows.append(((dst == codes) & mask).astype(jnp.bfloat16))
-    onehot_dst = jnp.concatenate(dst_rows, axis=0)  # (3*64, T)
-    contrib = jax.lax.dot_general(
-        onehot_src, onehot_dst,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (64, 192) = src @ [dst0|dst1|dst2]ᵀ, contraction over T lanes
-    # acc layout stays (3*64, 64): de-interleave the 192-wide result.
-    for d in GAPS:
-        acc_ref[d * NUM_CODES : (d + 1) * NUM_CODES, :] += contrib[
-            :, d * NUM_CODES : (d + 1) * NUM_CODES]
+        dst = jnp.where(pos < n - shift, dst, NUM_CODES)  # sentinel: no row
+        onehot_dst = (dst == codes).astype(jnp.bfloat16)  # (64, T)
+        contrib = jax.lax.dot_general(
+            onehot_src, onehot_dst,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (64, 64), contraction over T lanes
+        acc_ref[d * NUM_CODES : (d + 1) * NUM_CODES, :] += contrib
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -123,7 +122,7 @@ def _transition_kernel(src_ref, d0_ref, d1_ref, d2_ref, nloc_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def transition_counts_pallas(locs: jnp.ndarray, n_locs: jnp.ndarray,
-                             tile: int = 2048) -> jnp.ndarray:
+                             tile: int = 4096) -> jnp.ndarray:
     """(B, L) int32 padded codes + (B,) counts → (B, 3, 64, 64) float32."""
     B, L = locs.shape
     n_tiles = max(1, -(-L // tile))
