@@ -74,6 +74,26 @@ def _score_codes(params: Params, packed: jnp.ndarray, n_codes: jnp.ndarray,
     return forward(params, x_p, x_f, cfg)[:, 1]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _score_codes_k(params: Params, packed: jnp.ndarray, n_codes: jnp.ndarray,
+                   seq_lens: jnp.ndarray, cfg: GCNConfig, dtype=None) -> jnp.ndarray:
+    """K batches per dispatch: inputs carry a leading K dim; ``lax.map``
+    runs the fused scorer per batch with the weights resident on device.
+
+    One host→device transfer and one dispatch move K batches, amortising
+    the per-put round-trip that dominates on relay-tunneled devices
+    (benchmarks/wire_diagnosis.json: ~29 ms RTT vs ~14 ms device
+    compute per batch).  Params must be an argument, not a closure
+    capture — captured arrays become HLO constants and the weights blow
+    the remote-compile payload limit.
+    """
+    def body(args):
+        pk, nc, ln = args
+        return _score_codes.__wrapped__(params, pk, nc, ln, cfg, dtype)
+
+    return jax.lax.map(body, (packed, n_codes, seq_lens))
+
+
 def pack_batch(seqs: Sequence[str]):
     """Host-side: sequences → (packed uint8, n_codes, orig_lens) arrays
     ready for ``_score_codes``.  Native one-scan packer when built."""
@@ -121,6 +141,18 @@ def _batches(items: Iterator[Tuple[str, str]], size: int) -> Iterator[List[Tuple
         yield chunk
 
 
+def _stack_group(payloads, widths):
+    """Stack K (packed, n_codes, lens) batches along a leading K dim,
+    zero-padding packed rows to the group's max width (bytes beyond
+    ``n_codes`` are masked out on device, so zero-padding is exact)."""
+    w = max(widths)
+    padded = [np.pad(pl[0], ((0, 0), (0, w - pl[0].shape[1])))
+              if pl[0].shape[1] < w else pl[0] for pl in payloads]
+    return (np.stack(padded),
+            np.stack([pl[1] for pl in payloads]),
+            np.stack([pl[2] for pl in payloads]))
+
+
 def score_sequences(
     params: Params,
     named_seqs: Sequence[Tuple[str, str]],
@@ -129,6 +161,7 @@ def score_sequences(
     mesh=None,
     encode_fn=None,
     dtype=None,
+    fuse_k: int = 1,
 ) -> List[Tuple[str, float]]:
     """Score (name, seq) pairs → (name, P(phage)).
 
@@ -137,8 +170,16 @@ def score_sequences(
     ``dtype`` (e.g. ``jnp.bfloat16``) casts params once and each
     feature batch — halves HBM weight traffic, which is what bounds
     throughput at small batch (benchmarks/ANALYSIS.md).
+
+    ``fuse_k`` > 1 ships K packed batches per transfer and dispatches
+    one ``lax.map`` over them (weights stay resident) — amortises the
+    per-put round-trip on relay-tunneled devices.  Requires the fused
+    path (``encode_fn is None``) and no mesh.
     """
     fused = encode_fn is None
+    if fuse_k > 1 and (not fused or mesh is not None):
+        raise ValueError("fuse_k > 1 requires the fused packed path "
+                         "(encode_fn=None) and mesh=None")
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
     if mesh is not None:
@@ -163,7 +204,33 @@ def score_sequences(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    pending: List[Tuple[List[str], jax.Array]] = []
+    # pending entries: (list-of-name-lists, device array of shape (B,)
+    # per-batch or (K, B) for a fused group)
+    pending: List[Tuple[List[List[str]], jax.Array]] = []
+    group: List[Tuple[List[str], tuple]] = []
+
+    def flush_group():
+        if not group:
+            return 0
+        if len(group) == 1 or fuse_k == 1:
+            total = 0
+            for names, payload in group:
+                pending.append(([names], _dispatch(params, payload, cfg, dtype,
+                                                   mesh, fused, encode_fn)))
+                total += len(names)
+            group.clear()
+            return total
+        payloads = [pl for _, pl in group]
+        stacked = _stack_group(payloads, [pl[0].shape[1] for pl in payloads])
+        probs = _score_codes_k(params, jnp.asarray(stacked[0]),
+                               jnp.asarray(stacked[1]), jnp.asarray(stacked[2]),
+                               cfg, dtype)
+        names_lists = [names for names, _ in group]
+        pending.append((names_lists, probs))
+        total = sum(len(ns) for ns in names_lists)
+        group.clear()
+        return total
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
         for chunk in _batches(iter(named_seqs), batch_size):
@@ -173,18 +240,21 @@ def score_sequences(
                 continue
             names, payload = fut.result()
             fut = nxt
-            pending.append((names, _dispatch(params, payload, cfg, dtype, mesh,
-                                             fused, encode_fn)))
-            n += len(names)
+            group.append((names, payload))
+            if len(group) == fuse_k:
+                n += flush_group()
         if fut is not None:
             names, payload = fut.result()
-            pending.append((names, _dispatch(params, payload, cfg, dtype, mesh,
-                                             fused, encode_fn)))
-            n += len(names)
+            group.append((names, payload))
+        n += flush_group()
     results: List[Tuple[str, float]] = []
-    for names, probs in pending:
+    for names_lists, probs in pending:
         host = np.asarray(probs)
-        results.extend((nm, float(p)) for nm, p in zip(names, host[: len(names)]))
+        if host.ndim == 1:
+            host = host[None, :]
+        for k, names in enumerate(names_lists):
+            results.extend((nm, float(p))
+                           for nm, p in zip(names, host[k, : len(names)]))
     GLOBAL_METRICS.record("gcn.score", time.perf_counter() - t0, items=n, unit="contigs")
     return results
 
@@ -218,11 +288,12 @@ def score_fasta(
     mesh=None,
     encode_fn=None,
     dtype=None,
+    fuse_k: int = 1,
 ) -> int:
     """Full stage: assembly FASTA → node_scores.out.  Returns #contigs."""
     scores = score_sequences(
         params, list(iter_fasta(fasta_path)), cfg, batch_size, mesh, encode_fn,
-        dtype=dtype,
+        dtype=dtype, fuse_k=fuse_k,
     )
     write_scores(out_path, scores)
     logger.info("Scored %d contigs → %s", len(scores), out_path)

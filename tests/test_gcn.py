@@ -97,6 +97,50 @@ def test_score_codes_matches_feature_path():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_score_sequences_fuse_k_matches_unfused():
+    """fuse_k=2 grouped dispatch == per-batch dispatch, including a
+    ragged tail group and batches whose packed widths differ (the
+    grouped path zero-pads to the group max)."""
+    import jax
+
+    from palace_tpu.models.scoring import score_sequences
+
+    cfg = GCNConfig()
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    # 5 batches of 2 at batch_size=2 → two K=2 groups + a 1-batch tail;
+    # lengths vary so packed widths differ across batches
+    named = [(f"c{i}", _random_seq(80 + 40 * (i % 3))) for i in range(10)]
+    base = score_sequences(params, named, cfg, batch_size=2)
+    fused = score_sequences(params, named, cfg, batch_size=2, fuse_k=2)
+    assert [n for n, _ in base] == [n for n, _ in fused]
+    np.testing.assert_allclose([p for _, p in base], [p for _, p in fused],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_score_codes_k_matches_per_batch():
+    """K-fused dispatch (lax.map over a leading K dim) == per-batch
+    fused scorer, batch by batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from palace_tpu.models.scoring import _score_codes, _score_codes_k, pack_batch
+
+    cfg = GCNConfig()
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    # equal clean lengths so the packed widths stack across batches
+    K, B = 3, 2
+    batches = [[_random_seq(120) for _ in range(B)] for k in range(K)]
+    packs = [pack_batch(c) for c in batches]
+    stacked = tuple(jnp.asarray(np.stack([p[i] for p in packs]))
+                    for i in range(3))
+    got = np.asarray(_score_codes_k(params, *stacked, cfg))
+    assert got.shape == (K, B)
+    for k, (pk, nc, ln) in enumerate(packs):
+        want = np.asarray(_score_codes(params, jnp.asarray(pk),
+                                       jnp.asarray(nc), jnp.asarray(ln), cfg))
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # model oracle (PyG SAGEConv semantics on the explicit edge template)
 # ---------------------------------------------------------------------------
