@@ -63,7 +63,11 @@ def main():
         h, v = kmer_hashes(jnp.asarray(codes[:READ_BATCH]), perm, bits)
         table = table.add_kmers(h, v)
         break
-    _fetch(table.table)
+    # force completion with a SCALAR fetch: fetching the full table
+    # (4 GiB of counters at 32 bits) through a ~40 MB/s relay tunnel
+    # would bill ~100 s of wire time to Phase A (the r3 --all run
+    # recorded 1010 reads/s for exactly this reason)
+    _fetch(table.table.reshape(-1)[:1])
 
     t0 = time.perf_counter()
     done = 0
@@ -74,7 +78,7 @@ def main():
                            constant_values=4)
         h, v = kmer_hashes(jnp.asarray(codes), perm, bits)
         table = table.add_kmers(h, v)
-    _fetch(table.table)
+    _fetch(table.table.reshape(-1)[:1])
     dt = time.perf_counter() - t0
     reads_per_s = done / dt
 

@@ -1,10 +1,17 @@
-"""Split the fused scorer's device time into its two halves — the
-packed->features encoder and the GCN forward — plus the three heavy
-sub-blocks of the forward (pnode lift, SAGE rounds, conv/FC head).
+"""Split the fused scorer's device time into the packed->features
+encoder and the GCN forward, plus the heavy forward sub-blocks
+(pnode/fnode lift, SAGE rounds, conv/FC head).
 
-All inputs are pre-staged on device; every timing fetches a fresh
-scalar (relay rule: only fetch-inclusive times are real).  Writes
-benchmarks/scoring_parts.json.
+Relay-proof methodology (v2): every timed stage
+
+* returns a SCALAR (a 6 MB feature fetch costs ~150 ms on the ~40 MB/s
+  tunnel and swamps the kernel being measured),
+* is dispatched ITERS times with a distinct int32 salt folded into the
+  input (identical re-executions appear memoized by the relay), with
+  ONE host fetch of the last result — amortizing the ~29 ms RTT to
+  <1 ms per iteration.
+
+Writes benchmarks/scoring_parts.json.
 """
 from __future__ import annotations
 
@@ -19,23 +26,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-REPS = int(os.environ.get("PROF_REPS", "5"))
+REPS = int(os.environ.get("PROF_REPS", "3"))
+ITERS = int(os.environ.get("PROF_ITERS", "32"))
 BATCH = 256
 CONTIG_LEN = 10_000
 
 
 def note(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
-
-
-def bench(fn, *args, reps=REPS):
-    np.asarray(fn(*args))  # compile + warm
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts) * 1e3  # ms
 
 
 def main() -> None:
@@ -48,7 +46,14 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from palace_tpu.models.gcn import DEFAULT_CONFIG, forward, init_params
+    from palace_tpu.models.gcn import (
+        DEFAULT_CONFIG,
+        _layer_norm,
+        _sage,
+        forward,
+        init_params,
+        model_inputs_from_features,
+    )
     from palace_tpu.models.scoring import _score_codes, pack_batch
     from palace_tpu.ops.encoder import features_from_packed
 
@@ -66,46 +71,108 @@ def main() -> None:
     nc = jax.device_put(jnp.asarray(n_codes))
     ln = jax.device_put(jnp.asarray(lens))
 
+    def bench(fn):
+        """fn(salt: int32 array) -> scalar device value."""
+        np.asarray(fn(jnp.int32(0)))  # compile + warm
+        ts = []
+        for r in range(REPS):
+            t0 = time.perf_counter()
+            last = None
+            for i in range(ITERS):
+                last = fn(jnp.int32(r * ITERS + i + 1))
+            np.asarray(last)
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts) / ITERS * 1e3  # ms per iteration
+
     out = {"batch": BATCH, "contig_len": CONTIG_LEN, "reps": REPS,
-           "pallas": bool(int(os.environ.get("PALACE_DISABLE_PALLAS", "0")) == 0)}
+           "iters": ITERS,
+           "pallas": not os.environ.get("PALACE_NO_PALLAS")}
+    path = Path(__file__).parent / "scoring_parts.json"
 
-    note("full fused scorer")
-    out["full_ms"] = bench(lambda: _score_codes(params, pk, nc, ln, cfg, dtype))
+    def save():
+        path.write_text(json.dumps(out, indent=1) + "\n")
 
-    note("encoder half")
-    enc = jax.jit(lambda p, n, l: features_from_packed(p, n, l).astype(dtype))
-    out["encoder_ms"] = bench(lambda: enc(pk, nc, ln))
-    feats = jax.device_put(enc(pk, nc, ln))
-
-    note("forward half")
-    from palace_tpu.models.gcn import model_inputs_from_features
-
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def fwd(params, feats, cfg):
-        x_p, x_f = model_inputs_from_features(feats, cfg)
-        return forward(params, x_p, x_f, cfg)[:, 1]
-
-    out["forward_ms"] = bench(lambda: fwd(params, feats, cfg))
-
-    note("forward sub-blocks")
     B = BATCH
     f, pn, d3, gd = cfg.fnode_num, cfg.pnode_num, cfg.hidden_dim, cfg.gcn_dim
+
+    note("full fused scorer")
+
+    @jax.jit
+    def full(salt):
+        # salt the packed codes (XOR) so every dispatch is distinct
+        return _score_codes.__wrapped__(
+            params, pk ^ salt.astype(jnp.uint8), nc, ln, cfg, dtype).sum()
+
+    out["full_ms"] = bench(full)
+    save()
+
+    note("encoder half")
+
+    @jax.jit
+    def enc(salt):
+        feats = features_from_packed(pk ^ salt.astype(jnp.uint8), nc, ln)
+        return feats.astype(dtype).sum()
+
+    out["encoder_ms"] = bench(enc)
+    save()
+
+    note("forward half")
+    feats_host = jax.jit(
+        lambda: features_from_packed(pk, nc, ln).astype(dtype))()
+    feats = jax.device_put(feats_host)
+
+    @jax.jit
+    def fwd(salt):
+        # tiny distinct perturbation per dispatch (relay memoizes
+        # identical re-executions); 1e-3 on count features is harmless
+        x_p, x_f = model_inputs_from_features(
+            feats + salt.astype(dtype) * jnp.asarray(1e-3, dtype), cfg)
+        return forward(params, x_p, x_f, cfg)[:, 1].sum()
+
+    out["forward_ms"] = bench(fwd)
+    save()
+
+    note("forward sub-blocks")
     x_p0 = jax.device_put(jnp.zeros((B, pn, d3), dtype))
     x_f0 = jax.device_put(jnp.zeros((B, f, 1), dtype))
 
     @jax.jit
-    def lift(params, x_p, x_f):
-        a = (x_p.reshape(B, pn * d3) @ params["pnode_d.w"] + params["pnode_d.b"])
-        b = (x_f.reshape(B, f) @ params["fnode_d.w"] + params["fnode_d.b"])
+    def lift(salt):
+        xp = x_p0 + salt.astype(dtype)
+        xf = x_f0 + salt.astype(dtype)
+        a = (xp.reshape(B, pn * d3) @ params["pnode_d.w"] + params["pnode_d.b"])
+        b = (xf.reshape(B, f) @ params["fnode_d.w"] + params["fnode_d.b"])
         return a.sum() + b.sum()
 
-    out["lift_ms"] = bench(lambda: lift(params, x_p0, x_f0))
+    out["lift_ms"] = bench(lift)
+    save()
+
+    # SAGE rounds exactly as in forward (gcn.py:221-230)
+    xp_l = jax.device_put(jnp.zeros((B, pn, d3), dtype))
+    xf_l = jax.device_put(jnp.zeros((B, f, d3), dtype))
+
+    @jax.jit
+    def sage_rounds(salt):
+        x_p = xp_l + salt.astype(dtype)
+        x_f = xf_l + salt.astype(dtype)
+        for i in range(cfg.num_layers):
+            agg_p = jnp.repeat(x_f, f, axis=1)
+            x_p = jax.nn.relu(_sage(agg_p, x_p, params, f"convs_1.{i}"))
+            agg_f = x_p.reshape(B, f, f, -1).mean(axis=1)
+            x_f = jax.nn.relu(_sage(agg_f, x_f, params, f"convs_2.{i}"))
+            if i < cfg.num_layers - 1:
+                x_p = _layer_norm(x_p, params["ln.scale"], params["ln.bias"])
+                x_f = _layer_norm(x_f, params["ln.scale"], params["ln.bias"])
+        return x_p.sum() + x_f.sum()
+
+    out["sage_ms"] = bench(sage_rounds)
+    save()
 
     xp_big = jax.device_put(jnp.zeros((B, pn, gd), dtype))
 
     @jax.jit
-    def convhead(params, x_p):
-        x = x_p.reshape(B, gd, pn)
+    def convhead(salt):
+        x = (xp_big + salt.astype(dtype)).reshape(B, gd, pn)
         dn = ("NCH", "OIH", "NCH")
         for i in (1, 2, 3):
             x = jax.lax.conv_general_dilated(
@@ -117,14 +184,15 @@ def main() -> None:
         x = jax.nn.relu(x @ params["d1.w"] + params["d1.b"])
         return (x @ params["d2.w"] + params["d2.b"]).sum()
 
-    out["convhead_ms"] = bench(lambda: convhead(params, xp_big))
+    out["convhead_ms"] = bench(convhead)
+    save()
 
-    out["sage_ms_est"] = out["forward_ms"] - out["lift_ms"] - out["convhead_ms"]
-
-    (Path(__file__).parent / "scoring_parts.json").write_text(
-        json.dumps(out, indent=1) + "\n")
+    out["unattributed_ms"] = (out["full_ms"] - out["encoder_ms"]
+                              - out["lift_ms"] - out["sage_ms"]
+                              - out["convhead_ms"])
+    save()
     for k, v in out.items():
-        print(f"{k:16s} {v}")
+        print(f"{k:18s} {v}")
 
 
 if __name__ == "__main__":

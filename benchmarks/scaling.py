@@ -116,8 +116,12 @@ def main():
                 "devices": n_total,
                 "k": k,
                 "samples_per_point": samples,
-                "note": ("shared-core virtual mesh: ideal relative_throughput is 1.0; "
-                         "deficit = sharding overhead; medians over interleaved "
+                "note": ("shared-core virtual mesh: constant total compute, so "
+                         "relative_throughput ≈ 1.0 means sharding overhead ≈ 0; "
+                         "<1.0 = partition/collective overhead; >1.0 means the "
+                         "n-device program exploits host cores the single-device "
+                         "program leaves idle (XLA:CPU runs one sort per program "
+                         "thread), net of overhead — medians over interleaved "
                          "samples with p25/p75 spread"),
                 "scaling": results,
             },

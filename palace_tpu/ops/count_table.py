@@ -224,6 +224,19 @@ class ShardedCountTable:
     k: int
     mesh: Mesh
     cap: int = 3
+    #: device scalar accumulating pairs lost to windowed-scatter
+    #: capacity overflow (see _batch_sharded_scatter); 0 on every
+    #: realistic distribution — check with ``overflow_dropped()``
+    dropped: Optional[jnp.ndarray] = None
+
+    def overflow_dropped(self) -> int:
+        """Total (hash, inc) pairs dropped by the batch-sharded
+        windowed scatter across all updates — syncs with the device."""
+        return 0 if self.dropped is None else int(np.asarray(self.dropped))
+
+    def _accum_dropped(self, new: jnp.ndarray) -> jnp.ndarray:
+        tot = jnp.sum(new).astype(jnp.int32)
+        return tot if self.dropped is None else self.dropped + tot
 
     @classmethod
     def create(cls, mesh: Mesh, k: int, cap: int = 3) -> "ShardedCountTable":
@@ -235,14 +248,6 @@ class ShardedCountTable:
         table = jax.device_put(
             jnp.zeros((shard_rows * n_dev, width), jnp.uint8), sharding)
         return cls(table=table, k=k, mesh=mesh, cap=cap)
-
-    def _shard_fns(self):
-        n_dev = int(np.prod(self.mesh.devices.shape))
-        rows, width = table_shape(self.k)
-        return _make_shard_fns(
-            tuple(self.mesh.axis_names), n_dev,
-            -(-rows // n_dev), width, self.cap,
-        )
 
     def add_kmers(self, hashes: jnp.ndarray,
                   valid: Optional[jnp.ndarray] = None) -> "ShardedCountTable":
@@ -260,21 +265,16 @@ class ShardedCountTable:
             pad = (-flat.shape[0]) % n_dev
             flat = jnp.pad(flat, (0, pad))
             f = _sharded_update_hashes_batch(self.mesh, self.k, self.cap)
-            new_table = f(self.table, flat)
-            return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
+            new_table, dropped = f(self.table, flat)
+            return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
+                                     self._accum_dropped(dropped))
         if valid is None:
             valid = jnp.ones(hashes.shape, bool)
         s, total = _sorted_run_lengths(jnp.asarray(hashes, jnp.uint32), valid)
-        update_shard, _, axes = self._shard_fns()
-        spec_table = P(axes)
-        f = jax.jit(
-            jax.shard_map(
-                update_shard, mesh=self.mesh,
-                in_specs=(spec_table, P(), P()), out_specs=spec_table,
-            )
-        )
+        f = _sharded_update_replicated(self.mesh, self.k, self.cap)
         new_table = f(self.table, s, total)
-        return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
+        return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
+                                 self.dropped)
 
     def add_packed(self, packed: np.ndarray, mask: np.ndarray,
                    perm: np.ndarray, kmer_k: int) -> "ShardedCountTable":
@@ -291,22 +291,20 @@ class ShardedCountTable:
         if packed.shape[0] % n_dev == 0 and n_dev * self.cap + self.cap <= 255:
             f = _sharded_update_packed_batch(
                 self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k)
-        else:
-            f = _sharded_update_packed(
-                self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k)
+            new_table, dropped = f(self.table, jnp.asarray(packed),
+                                   jnp.asarray(mask))
+            return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
+                                     self._accum_dropped(dropped))
+        f = _sharded_update_packed(
+            self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k)
         new_table = f(self.table, jnp.asarray(packed), jnp.asarray(mask))
-        return ShardedCountTable(new_table, self.k, self.mesh, self.cap)
+        return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
+                                 self.dropped)
 
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:
-        _, lookup_shard, axes = self._shard_fns()
         shape = hashes.shape
         flat = jnp.asarray(hashes, jnp.uint32).reshape(-1)
-        f = jax.jit(
-            jax.shard_map(
-                lookup_shard, mesh=self.mesh,
-                in_specs=(P(axes), P()), out_specs=P(),
-            )
-        )
+        f = _sharded_lookup(self.mesh, self.k, self.cap)
         counts = f(self.table, flat)
         counts = jnp.where(flat == 0, 0, counts)
         return counts.reshape(shape).astype(jnp.uint8)
@@ -345,6 +343,37 @@ def _make_shard_fns(axes, n_dev: int, shard_rows: int, row_width: int, cap: int)
         return jax.lax.psum(part, axes)
 
     return update_shard, lookup_shard, axes
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_lookup(mesh: Mesh, table_bits: int, cap: int):
+    """Cached jit per (mesh, table, cap) config.  Rebuilding
+    ``jax.jit(shard_map(...))`` inside every ``lookup`` call created a
+    fresh jit cache per call — a full retrace each time, measured at
+    ~80 ms/call on the 8-device CPU mesh and mistaken for 'sharding
+    overhead' in benchmarks/scaling.py until attributed."""
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    rows, width = table_shape(table_bits)
+    _, lookup_shard, _ = _make_shard_fns(axes, n_dev, -(-rows // n_dev),
+                                         width, cap)
+    return jax.jit(jax.shard_map(
+        lookup_shard, mesh=mesh, in_specs=(P(axes), P()), out_specs=P()))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_update_replicated(mesh: Mesh, table_bits: int, cap: int):
+    """Cached jit for the replicated (non-batch-shardable) update path
+    — same per-call-retrace trap as ``_sharded_lookup``."""
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    rows, width = table_shape(table_bits)
+    update_shard, _, _ = _make_shard_fns(axes, n_dev, -(-rows // n_dev),
+                                         width, cap)
+    spec_table = P(axes)
+    return jax.jit(jax.shard_map(
+        update_shard, mesh=mesh,
+        in_specs=(spec_table, P(), P()), out_specs=spec_table))
 
 
 @functools.lru_cache(maxsize=16)
@@ -405,7 +434,8 @@ def _sharded_update_packed_batch(mesh: Mesh, table_bits: int, cap: int,
     spec_table = P(axes)
     f = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec_table, P(axes), P(axes)), out_specs=spec_table,
+        in_specs=(spec_table, P(axes), P(axes)),
+        out_specs=(spec_table, P(axes)),
     )
     return jax.jit(f, donate_argnums=(0,))
 
@@ -414,30 +444,86 @@ def _batch_sharded_scatter(axes, n_dev: int, shard_rows: int, width: int,
                            cap: int):
     """Shared tail of the batch-sharded updates: compress the local
     slice's sorted runs to one clipped increment per distinct value,
-    all_gather the (hash, increment) pairs, scatter-add into the local
-    row range, scatter-min back to cap."""
+    all_gather the (hash, increment) pairs, scatter the slice windows
+    that fall in the local row range, scatter-min back to cap.
+
+    **Windowed scatter** (the 1→N scaling fix): a naive scatter of the
+    full gathered array costs O(B) per shard — N·B total — which caps
+    scaling at the scatter (measured 0.72 relative throughput at n8 on
+    the virtual mesh).  Each slice is sorted, so the pairs belonging to
+    this shard's row range form ONE contiguous window per slice;
+    ``searchsorted`` finds it and a fixed-capacity ``dynamic_slice``
+    extracts it, cutting per-shard scatter work to N·C ≈ 2B/N.  Every
+    window element is still range-checked individually, so window
+    placement (including ``dynamic_slice``'s start clamping) affects
+    only performance, never correctness — EXCEPT capacity overflow:
+    a slice contributing more than C distinct in-range values to one
+    shard loses the tail.  Uniform coder-permuted hashes make that a
+    large-deviation event at C = 2·E[window]; the scatter counts every
+    dropped pair and returns it so callers can assert zero (see
+    ``ShardedCountTable.dropped``).
+
+    Returns ``(table_shard, dropped (1,) int32)``.
+    """
 
     def scatter(table_shard, s, total):
         n = s.shape[0]
+        cap_win = min(n, max(256, 2 * (-(-n // n_dev))))
         pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         nxt = jnp.concatenate([s[1:], s[-1:]])
         is_last = (pos == n - 1) | (s != nxt)
         inc = jnp.where(is_last, jnp.minimum(total, cap), 0).astype(jnp.uint8)
-        # one collective: every shard sees every slice's compressed runs
-        s_all = jax.lax.all_gather(s, axes, tiled=True)
-        inc_all = jax.lax.all_gather(inc, axes, tiled=True)
+
+        # compact to distinct values with an O(n) stream compaction
+        # (cumsum + scatter — a second full sort here cost more than the
+        # windowing saved): kept entries stay in per-slice sorted order,
+        # the tail is pre-filled with the max sentinel so the array
+        # stays sorted for searchsorted (sentinels carry inc=0)
+        keep = inc > 0
+        idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        n_keep = idx[-1] + 1
+        tgt = jnp.where(keep, idx, n)
+        s_c = jnp.full((n,), 0xFFFFFFFF, jnp.uint32).at[tgt].set(s, mode="drop")
+        inc_c = jnp.zeros((n,), jnp.uint8).at[tgt].set(inc, mode="drop")
+
+        # one collective: every shard sees every slice's compacted runs
+        s_all = jax.lax.all_gather(s_c, axes)        # (N, n)
+        inc_all = jax.lax.all_gather(inc_c, axes)    # (N, n)
+        len_all = jax.lax.all_gather(n_keep, axes)   # (N,)
 
         dev = jnp.zeros((), jnp.int32)
         for ax in axes:
             dev = dev * jnp.int32(jax.lax.axis_size(ax)) + jax.lax.axis_index(ax)
         base_row = dev * jnp.int32(shard_rows)
-        hi, lo = split_hash(s_all, width)
+        # shard value range [lo_val, hi_val); products stay < 2^32 for
+        # every shard except the last's upper bound, which wraps — the
+        # last shard uses the compacted length instead (this also keeps
+        # genuine 0xFFFFFFFF hashes in and sentinels out)
+        lo_val = base_row.astype(jnp.uint32) * jnp.uint32(width)
+        hi_val = (base_row + shard_rows).astype(jnp.uint32) * jnp.uint32(width)
+        is_last_shard = dev == n_dev - 1
+
+        lo_j = jax.vmap(lambda seg: jnp.searchsorted(seg, lo_val))(s_all)
+        hi_j = jnp.where(
+            is_last_shard, len_all,
+            jax.vmap(lambda seg: jnp.searchsorted(seg, hi_val))(s_all))
+        hi_j = jnp.maximum(hi_j, lo_j)
+        dropped = jnp.sum(jnp.maximum(hi_j - lo_j - cap_win, 0))
+
+        win_s = jax.vmap(
+            lambda seg, st: jax.lax.dynamic_slice(seg, (st,), (cap_win,))
+        )(s_all, lo_j).reshape(-1)
+        win_inc = jax.vmap(
+            lambda seg, st: jax.lax.dynamic_slice(seg, (st,), (cap_win,))
+        )(inc_all, lo_j).reshape(-1)
+
+        hi, lo = split_hash(win_s, width)
         local_hi = hi - base_row
-        in_range = (local_hi >= 0) & (local_hi < shard_rows) & (inc_all > 0)
+        in_range = (local_hi >= 0) & (local_hi < shard_rows) & (win_inc > 0)
         hi_s = jnp.where(in_range, local_hi, jnp.int32(shard_rows))  # OOB → drop
-        table_shard = table_shard.at[hi_s, lo].add(inc_all, mode="drop")
+        table_shard = table_shard.at[hi_s, lo].add(win_inc, mode="drop")
         table_shard = table_shard.at[hi_s, lo].min(jnp.uint8(cap), mode="drop")
-        return table_shard
+        return table_shard, dropped[None]
 
     return scatter
 
@@ -460,7 +546,7 @@ def _sharded_update_hashes_batch(mesh: Mesh, table_bits: int, cap: int):
     spec_table = P(axes)
     f = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec_table, P(axes)), out_specs=spec_table,
+        in_specs=(spec_table, P(axes)), out_specs=(spec_table, P(axes)),
     )
     # no donation: add_kmers keeps value semantics (only add_packed
     # documents buffer donation)

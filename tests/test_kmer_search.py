@@ -123,6 +123,45 @@ def test_sharded_table_matches_single(eight_devices):
     np.testing.assert_array_equal(got_single, got_sharded)
 
 
+def test_sharded_windowed_scatter_low_complexity_exact(eight_devices):
+    """Adversarial low-complexity batch (ONE hot value dominating, the
+    poly-A read case): per-slice run compaction reduces it to a single
+    (hash, inc) pair, so the windowed scatter stays exact and drops
+    nothing."""
+    mesh = make_mesh(8, model_parallel=2)
+    k = 12
+    hot = np.full(4096, 37, np.uint32)
+    few = np.asarray([1, 2, 37, 4000, 4001], np.uint32)
+    batch = np.concatenate([hot, few, few]).astype(np.uint32)
+    # pad to a devices multiple so the batch-sharded path engages
+    batch = np.pad(batch, (0, (-len(batch)) % 8))
+
+    single = CountTable.create(k).add_kmers(jnp.asarray(batch[None, :]))
+    sharded = ShardedCountTable.create(mesh, k).add_kmers(
+        jnp.asarray(batch[None, :]))
+    probe = np.unique(batch).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(single.lookup(jnp.asarray(probe))),
+        np.asarray(sharded.lookup(jnp.asarray(probe))))
+    assert sharded.overflow_dropped() == 0
+
+
+def test_sharded_windowed_scatter_overflow_is_counted(eight_devices):
+    """Engineered capacity overflow: one slice contributing far more
+    distinct in-range values than the window capacity C
+    (= max(256, 2·ceil(n/N))) must raise the ``dropped`` counter
+    rather than fail silently."""
+    mesh = make_mesh(8, model_parallel=2)
+    k = 16  # rows=1, width=65536 → a single shard owns ALL hashes
+    n = 8 * 1024  # slice length 1024 → C = max(256, 2*128) = 256
+    # all distinct, all non-zero → every slice compacts to 1024 distinct
+    # in-range values > C for the owning shard
+    batch = (np.arange(n, dtype=np.uint32) + 1)
+    sharded = ShardedCountTable.create(mesh, k).add_kmers(
+        jnp.asarray(batch[None, :]))
+    assert sharded.overflow_dropped() > 0
+
+
 # ---------------------------------------------------------------------------
 # sliding window
 # ---------------------------------------------------------------------------
