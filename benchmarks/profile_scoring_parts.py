@@ -95,41 +95,46 @@ def main() -> None:
     B = BATCH
     f, pn, d3, gd = cfg.fnode_num, cfg.pnode_num, cfg.hidden_dim, cfg.gcn_dim
 
+    # Every jitted stage takes params/inputs as ARGUMENTS: closure
+    # captures become HLO constants, and 302 MB of bf16 weights inside
+    # the compile payload trips the relay's remote_compile body limit
+    # (HTTP 413 — same trap as _score_codes_k, see scoring.py).
+
     note("full fused scorer")
 
     @jax.jit
-    def full(salt):
+    def full(params, pk, nc, ln, salt):
         # salt the packed codes (XOR) so every dispatch is distinct
         return _score_codes.__wrapped__(
             params, pk ^ salt.astype(jnp.uint8), nc, ln, cfg, dtype).sum()
 
-    out["full_ms"] = bench(full)
+    out["full_ms"] = bench(lambda salt: full(params, pk, nc, ln, salt))
     save()
 
     note("encoder half")
 
     @jax.jit
-    def enc(salt):
+    def enc(pk, nc, ln, salt):
         feats = features_from_packed(pk ^ salt.astype(jnp.uint8), nc, ln)
         return feats.astype(dtype).sum()
 
-    out["encoder_ms"] = bench(enc)
+    out["encoder_ms"] = bench(lambda salt: enc(pk, nc, ln, salt))
     save()
 
     note("forward half")
-    feats_host = jax.jit(
-        lambda: features_from_packed(pk, nc, ln).astype(dtype))()
-    feats = jax.device_put(feats_host)
+    feats = jax.jit(
+        lambda pk, nc, ln: features_from_packed(pk, nc, ln).astype(dtype)
+    )(pk, nc, ln)
 
     @jax.jit
-    def fwd(salt):
+    def fwd(params, feats, salt):
         # tiny distinct perturbation per dispatch (relay memoizes
         # identical re-executions); 1e-3 on count features is harmless
         x_p, x_f = model_inputs_from_features(
             feats + salt.astype(dtype) * jnp.asarray(1e-3, dtype), cfg)
         return forward(params, x_p, x_f, cfg)[:, 1].sum()
 
-    out["forward_ms"] = bench(fwd)
+    out["forward_ms"] = bench(lambda salt: fwd(params, feats, salt))
     save()
 
     note("forward sub-blocks")
@@ -137,14 +142,14 @@ def main() -> None:
     x_f0 = jax.device_put(jnp.zeros((B, f, 1), dtype))
 
     @jax.jit
-    def lift(salt):
+    def lift(params, x_p0, x_f0, salt):
         xp = x_p0 + salt.astype(dtype)
         xf = x_f0 + salt.astype(dtype)
         a = (xp.reshape(B, pn * d3) @ params["pnode_d.w"] + params["pnode_d.b"])
         b = (xf.reshape(B, f) @ params["fnode_d.w"] + params["fnode_d.b"])
         return a.sum() + b.sum()
 
-    out["lift_ms"] = bench(lift)
+    out["lift_ms"] = bench(lambda salt: lift(params, x_p0, x_f0, salt))
     save()
 
     # SAGE rounds exactly as in forward (gcn.py:221-230)
@@ -152,7 +157,7 @@ def main() -> None:
     xf_l = jax.device_put(jnp.zeros((B, f, d3), dtype))
 
     @jax.jit
-    def sage_rounds(salt):
+    def sage_rounds(params, xp_l, xf_l, salt):
         x_p = xp_l + salt.astype(dtype)
         x_f = xf_l + salt.astype(dtype)
         for i in range(cfg.num_layers):
@@ -165,13 +170,13 @@ def main() -> None:
                 x_f = _layer_norm(x_f, params["ln.scale"], params["ln.bias"])
         return x_p.sum() + x_f.sum()
 
-    out["sage_ms"] = bench(sage_rounds)
+    out["sage_ms"] = bench(lambda salt: sage_rounds(params, xp_l, xf_l, salt))
     save()
 
     xp_big = jax.device_put(jnp.zeros((B, pn, gd), dtype))
 
     @jax.jit
-    def convhead(salt):
+    def convhead(params, xp_big, salt):
         x = (xp_big + salt.astype(dtype)).reshape(B, gd, pn)
         dn = ("NCH", "OIH", "NCH")
         for i in (1, 2, 3):
@@ -184,7 +189,7 @@ def main() -> None:
         x = jax.nn.relu(x @ params["d1.w"] + params["d1.b"])
         return (x @ params["d2.w"] + params["d2.b"]).sum()
 
-    out["convhead_ms"] = bench(convhead)
+    out["convhead_ms"] = bench(lambda salt: convhead(params, xp_big, salt))
     save()
 
     out["unattributed_ms"] = (out["full_ms"] - out["encoder_ms"]

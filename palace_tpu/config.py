@@ -95,6 +95,10 @@ class ScoreParams:
     batch_size: int = 64           # DataLoader batch (phage_scoring.py:205)
     encode_batch: int = 1000       # generate_model_input batch (phage_scoring.py:136)
     dtype: str = "float32"         # compute dtype on device ("bfloat16" for speed)
+    #: batches shipped per device dispatch (lax.map with resident
+    #: weights); >1 amortises per-transfer latency on relay-tunneled
+    #: devices — requires the fused path and no mesh (scoring.py)
+    fuse_k: int = 1
     #: scoring with random weights silently yields garbage probabilities;
     #: a missing gcn_model is a hard error unless this is set (tests/dev)
     allow_random_weights: bool = False

@@ -103,10 +103,12 @@ class PalacePipeline:
                 "with score.allow_random_weights=true / "
                 "PALACE_ALLOW_RANDOM_WEIGHTS=1."
             )
+        fuse_k = self.cfg.score.fuse_k if self.mesh is None else 1
         return score_fasta(
             params, fasta, out_path, DEFAULT_CONFIG,
             batch_size=self.cfg.score.batch_size, mesh=self.mesh,
             dtype=resolve_dtype(self.cfg.score.dtype),
+            fuse_k=fuse_k,
         )
 
     # ------------------------------------------------------------------

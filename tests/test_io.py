@@ -190,6 +190,15 @@ def test_config(tmp_path):
     assert any("fastq1" in p for p in missing.validate(check_files=False))
 
 
+def test_config_score_group_keys():
+    cfg = PalaceConfig.from_dict(
+        {"score_fuse_k": "4", "score_dtype": "bfloat16",
+         "score_batch_size": "128"})
+    assert cfg.score.fuse_k == 4
+    assert cfg.score.dtype == "bfloat16"
+    assert cfg.score.batch_size == 128
+
+
 def test_stage_runner(tmp_path):
     out = tmp_path / "artifact.txt"
     calls = []
