@@ -86,8 +86,11 @@ def main():
     ref_hashes = np.asarray(index.ref_hashes(0))
     one_min, three_min = window_thresholds(params.window, params.hit_ratio,
                                            params.perfect_hit_ratio)
-    counts = table.lookup(jnp.asarray(ref_hashes))
-    _fetch(counts)
+    # warm BOTH jits (the first good_windows call compiles; timing it
+    # billed ~seconds of TPU compile to Phase B throughput)
+    rh = jnp.asarray(ref_hashes)
+    counts = table.lookup(rh)
+    _fetch(good_windows(counts, rh, params.window, one_min, three_min))
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):

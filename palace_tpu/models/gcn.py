@@ -219,8 +219,16 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
 
     # alternating bipartite SAGE rounds (phage_scoring.py:101-110)
     for i in range(cfg.num_layers):
-        agg_p = jnp.repeat(x_f, f, axis=1)                      # f[i//64] → p[i]
-        x_p = jax.nn.relu(_sage(agg_p, x_p, params, f"convs_1.{i}"))
+        # f[i//64] → p[i] aggregation: the lin_l matmul commutes with
+        # the 64-way repeat (repeat(x_f) @ W == repeat(x_f @ W), same
+        # per-element float ops ⇒ bit-identical), so run it on the
+        # 64-node side and broadcast the result — 1/64 the FLOPs and
+        # the (B,4096,·) agg_p tensor is never materialised
+        # (benchmarks/ab_gcn_variants.json: 8.9 → 8.1 ms/batch)
+        lifted = (x_f @ params[f"convs_1.{i}.lin_l.w"]
+                  + params[f"convs_1.{i}.lin_l.b"])
+        x_p = jax.nn.relu(jnp.repeat(lifted, f, axis=1)
+                          + x_p @ params[f"convs_1.{i}.lin_r.w"])
         x_p = _dropout(x_p, cfg.drop_rate, keys[2 * i])
         agg_f = x_p.reshape(B, f, f, -1).mean(axis=1)           # mean over {i : i%64==j}
         x_f = jax.nn.relu(_sage(agg_f, x_f, params, f"convs_2.{i}"))

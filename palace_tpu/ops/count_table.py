@@ -66,8 +66,19 @@ def split_hash(hashes: jnp.ndarray, row_width: int) -> Tuple[jnp.ndarray, jnp.nd
 def lookup_traced(table: jnp.ndarray, hashes: jnp.ndarray) -> jnp.ndarray:
     """Traceable gather: counts for arbitrary-shape uint32 hashes
     against the 2-D table (hash 0 NOT masked here — callers apply the
-    reference's slot-0 permanent-miss rule)."""
+    reference's slot-0 permanent-miss rule).  Dispatches statically on
+    dtype: uint8 → byte table, uint32 → word-packed table (4 × 2-bit
+    counters per word, see ``_update_packed_words_traced``)."""
     flat = hashes.reshape(-1)
+    if table.dtype == jnp.uint32:
+        h = flat.astype(jnp.uint32)
+        row = jax.lax.shift_right_logical(h, jnp.uint32(16)).astype(jnp.int32)
+        colw = ((h & jnp.uint32(0xFFFF)) >> jnp.uint32(2)).astype(jnp.int32)
+        shift = jnp.uint32(2) * (h & jnp.uint32(3))
+        words = table[row, colw]
+        counts = (jax.lax.shift_right_logical(words, shift)
+                  & jnp.uint32(3)).astype(jnp.uint8)
+        return counts.reshape(hashes.shape)
     hi, lo = split_hash(flat, table.shape[1])
     return table[hi, lo].reshape(hashes.shape)
 
@@ -125,6 +136,105 @@ def _update_set_traced(table: jnp.ndarray, hashes: jnp.ndarray,
 _update_table_set = jax.jit(_update_set_traced, static_argnames=("cap",))
 
 
+def _update_packed_words_traced(table: jnp.ndarray, hashes: jnp.ndarray,
+                                valid: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Exact saturating update of a WORD-PACKED table: 4 × 2-bit
+    counters per uint32, table shape (rows, 2^14) = 2^30 elements.
+
+    Why: XLA:TPU falls off its 32-bit-index scatter path once a scatter
+    operand reaches 2^31 elements (187 ms vs 21 ms for the same 1.66 M
+    updates, benchmarks/ANALYSIS.md) — packing shrinks the 2^32-slot
+    byte table to 2^30 words, back inside the fast regime, and to 1 GiB
+    of HBM.  Requires ``cap ≤ 3`` (2 bits per counter).
+
+    Exactness: the batch is sorted, so updates sharing a word are
+    adjacent.  Each element computes its own field's saturated value
+    from the OLD word (``min(old_sub + run_total, cap)`` — identical
+    for every duplicate of a value); per-word aggregation is a modular
+    cumsum segment-sum of per-VALUE field deltas (distinct values in a
+    word occupy disjoint 2-bit fields, so their one-per-value deltas
+    sum without carries), and every member of a word-run then writes
+    the identical merged word — a duplicate-safe scatter-set with a
+    truthful ``indices_are_sorted`` hint, exactly like the byte path.
+    """
+    assert cap <= 3, "packed table holds 2-bit counters (cap <= 3)"
+    s, total = _sorted_run_lengths(hashes, valid)
+    n = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    word = jax.lax.shift_right_logical(s, jnp.uint32(2))
+    sub = (s & jnp.uint32(3)).astype(jnp.uint32)
+    row = jax.lax.shift_right_logical(s, jnp.uint32(16)).astype(jnp.int32)
+    colw = ((s & jnp.uint32(0xFFFF)) >> jnp.uint32(2)).astype(jnp.int32)
+
+    old_word = table[row, colw]
+    shift = jnp.uint32(2) * sub
+    old_sub = (jax.lax.shift_right_logical(old_word, shift)
+               & jnp.uint32(3)).astype(jnp.int32)
+    new_sub = jnp.minimum(old_sub + total, jnp.int32(cap)).astype(jnp.uint32)
+    contrib = jax.lax.shift_left(new_sub, shift)
+    fmask = jax.lax.shift_left(jnp.uint32(3), shift)
+
+    # one delta per distinct VALUE (at its run's last position)
+    nxt_s = jnp.concatenate([s[1:], s[-1:]])
+    v_last = (pos == n - 1) | (s != nxt_s)
+    d_contrib = jnp.where(v_last, contrib, jnp.uint32(0))
+    d_mask = jnp.where(v_last, fmask, jnp.uint32(0))
+
+    # word-run boundaries (first/last index of each word's stretch)
+    prev_w = jnp.concatenate([word[:1], word[:-1]])
+    nxt_w = jnp.concatenate([word[1:], word[-1:]])
+    w_new = (pos == 0) | (word != prev_w)
+    w_last = (pos == n - 1) | (word != nxt_w)
+    w_first_pos = jax.lax.cummax(jnp.where(w_new, pos, -1))
+    w_last_pos = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(w_last, pos, n))))
+
+    # segment sums via modular prefix sums: fields are disjoint and
+    # appear once per value, so the in-word sum has no carries; the
+    # uint32 prefix wraps mod 2^32 and the difference is still exact
+    P_c = jnp.cumsum(d_contrib, dtype=jnp.uint32)
+    P_m = jnp.cumsum(d_mask, dtype=jnp.uint32)
+    sum_at_last_c = P_c[w_last_pos]
+    sum_at_last_m = P_m[w_last_pos]
+    before = jnp.maximum(w_first_pos - 1, 0)
+    first_is_zero = w_first_pos == 0
+    base_c = jnp.where(first_is_zero, jnp.uint32(0), P_c[before])
+    base_m = jnp.where(first_is_zero, jnp.uint32(0), P_m[before])
+    seg_contrib = sum_at_last_c - base_c
+    seg_mask = sum_at_last_m - base_m
+
+    new_word = (old_word & ~seg_mask) | seg_contrib
+    # slot 0 (the reference's permanent-miss slot) lives in word 0
+    # field 0 and is never read back — writing it is harmless, same as
+    # the byte path
+    return table.at[row, colw].set(new_word, mode="drop",
+                                   indices_are_sorted=True)
+
+
+_update_table_packed_words = jax.jit(
+    _update_packed_words_traced, static_argnames=("cap",),
+    donate_argnums=(0,))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "perm_key", "k"),
+                   donate_argnums=(0,))
+def _update_packed_words_fused(table, packed, mask, cap: int, perm_key,
+                               k: int):
+    """Fused Phase-A batch update over the word-packed table (the
+    production ``add_packed`` path) — one dispatch, table donated."""
+    codes = unpack_codes_mask(packed, mask)
+    hashes, valid = kmer_hashes_traced(codes, perm_key, k)
+    return _update_packed_words_traced(table, hashes, valid, cap)
+
+
+def packed_table_shape(k: int) -> Tuple[int, int]:
+    """(rows, words_per_row) of the word-packed table (4 counters per
+    uint32 word)."""
+    rows, width = table_shape(k)
+    assert width % 4 == 0
+    return rows, width // 4
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "perm_key", "k"),
                    donate_argnums=(0,))
 def _update_table_packed(table: jnp.ndarray, packed: jnp.ndarray,
@@ -177,28 +287,75 @@ def _update_table(table: jnp.ndarray, hashes: jnp.ndarray, valid: jnp.ndarray,
 _lookup_table = jax.jit(lookup_traced)
 
 
+def _use_packed_words(k: int, cap: int) -> bool:
+    """Word-packed storage for the big tables on TPU: XLA:TPU's scatter
+    leaves its fast 32-bit-index path at 2^31-element operands (6–9×
+    slower, benchmarks/ANALYSIS.md), so k > 30 byte tables are stored
+    as 2^30 uint32 words of 4 × 2-bit counters.  CPU has no such cliff
+    and keeps the byte layout.  PALACE_TABLE_PACKED=0/1 overrides."""
+    env = os.environ.get("PALACE_TABLE_PACKED")
+    if env is not None:
+        return bool(int(env)) and cap <= 3
+    if k <= 30 or cap > 3:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @dataclass
 class CountTable:
-    """Single-device saturating counter over 2^k hash slots."""
+    """Single-device saturating counter over 2^k hash slots.
 
-    table: jnp.ndarray  # (2^(k-16), 2^16) uint8 — see module docstring
+    Storage is either the (2^(k-16), 2^16) uint8 byte table or — on
+    TPU for k > 30 — a (2^(k-16), 2^14) uint32 WORD-PACKED table with
+    4 × 2-bit counters per word (see ``_update_packed_words_traced``;
+    1 GiB instead of 4 GiB, and the update scatter stays on XLA:TPU's
+    fast 32-bit-index path).  Both forms have identical count
+    semantics; ``lookup_traced`` dispatches on dtype.
+    """
+
+    table: jnp.ndarray
     k: int
     cap: int = 3
 
     @classmethod
     def create(cls, k: int, cap: int = 3) -> "CountTable":
+        if _use_packed_words(k, cap):
+            return cls(table=jnp.zeros(packed_table_shape(k), jnp.uint32),
+                       k=k, cap=cap)
         return cls(table=jnp.zeros(table_shape(k), jnp.uint8), k=k, cap=cap)
+
+    @property
+    def packed_words(self) -> bool:
+        return self.table.dtype == jnp.uint32
+
+    def merged(self) -> jnp.ndarray:
+        """The table array in its native layout (kept for callers that
+        feed it to ``lookup_traced``-based scans)."""
+        return self.table
 
     def add_kmers(self, hashes: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> "CountTable":
         if valid is None:
             valid = jnp.ones(hashes.shape, bool)
-        return CountTable(_update_table(self.table, hashes, valid, self.cap), self.k, self.cap)
+        if self.packed_words:
+            new = _update_table_packed_words(
+                self.table, jnp.asarray(hashes, jnp.uint32), valid, self.cap)
+            return CountTable(new, self.k, self.cap)
+        return CountTable(_update_table(self.table, hashes, valid, self.cap),
+                          self.k, self.cap)
 
     def add_packed(self, packed: np.ndarray, mask: np.ndarray,
                    perm: np.ndarray, kmer_k: int) -> "CountTable":
         """Fused single-dispatch update from wire-packed codes (see
         kmer.pack_codes_mask).  DONATES the current table buffer — the
         receiver object must not be used after this call."""
+        if self.packed_words:
+            new = _update_packed_words_fused(
+                self.table, jnp.asarray(packed), jnp.asarray(mask),
+                self.cap, perm_to_key(perm), kmer_k)
+            return CountTable(new, self.k, self.cap)
         new = _update_table_packed(
             self.table, jnp.asarray(packed), jnp.asarray(mask),
             self.cap, perm_to_key(perm), kmer_k,

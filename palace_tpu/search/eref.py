@@ -312,7 +312,8 @@ def search_references(
             scan = _scan_ref_fused_sharded(
                 table.mesh, table.k, table.cap, **static)
         bits = scan(
-            table.table, packed_flat, mask_flat,
+            table.merged() if isinstance(table, CountTable) else table.table,
+            packed_flat, mask_flat,
             jnp.int32(index.code_offsets[r]),
             jnp.int32(index.mask_offsets[r]),
             jnp.int32(ref_len),

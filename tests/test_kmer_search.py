@@ -364,6 +364,87 @@ def test_add_packed_matches_add_kmers():
                                   np.asarray(t_fused.table))
 
 
+def test_packed_word_table_matches_byte(monkeypatch):
+    """Word-packed storage (4 × 2-bit counters per uint32 — the
+    >2^31-element fast-scatter fix) is count-exact vs the byte table:
+    duplicates within and across words, zeros, saturation at cap, and
+    accumulation across batches."""
+    k = 20
+    rng = np.random.default_rng(11)
+    batches = [
+        rng.integers(0, 1 << k, (4096,), dtype=np.uint32),
+        # heavy duplicates of one value, a same-word cluster (4n..4n+3),
+        # zeros, and fresh randoms
+        np.concatenate([np.full(2000, 777, np.uint32),
+                        np.asarray([40, 41, 42, 43, 41, 43], np.uint32),
+                        np.zeros(96, np.uint32),
+                        rng.integers(0, 1 << k, (2000,), dtype=np.uint32)]),
+        rng.integers(0, 1 << k, (4096,), dtype=np.uint32),
+    ]
+    byte = CountTable.create(k)
+    monkeypatch.setenv("PALACE_TABLE_PACKED", "1")
+    packedt = CountTable.create(k)
+    assert packedt.packed_words and packedt.table.dtype == jnp.uint32
+    for b in batches:
+        byte = byte.add_kmers(jnp.asarray(b[None, :]))
+        packedt = packedt.add_kmers(jnp.asarray(b[None, :]))
+    probe = np.concatenate([np.unique(np.concatenate(batches)),
+                            np.asarray([0], np.uint32)]).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(byte.lookup(jnp.asarray(probe))),
+        np.asarray(packedt.lookup(jnp.asarray(probe))))
+    # saturation: 777 appeared 2000× → capped at 3
+    assert int(packedt.lookup(jnp.asarray(np.asarray([777], np.uint32)))[0]) == 3
+
+
+def test_packed_word_add_packed_matches_byte(monkeypatch):
+    from palace_tpu.ops.kmer import pack_codes_mask
+
+    k = K
+    perm = make_choose_coder(k, seed=3)
+    codes = RNG.integers(0, 5, size=(16, 40)).astype(np.uint8)
+    hashes, valid = kmer_hashes(jnp.asarray(codes), perm, k)
+    byte = CountTable.create(k=18).add_kmers(hashes, valid)
+    monkeypatch.setenv("PALACE_TABLE_PACKED", "1")
+    packed, mask = pack_codes_mask(codes)
+    packedt = CountTable.create(k=18).add_packed(packed, mask, perm, k)
+    assert packedt.packed_words
+    probe = np.unique(np.asarray(hashes).reshape(-1)).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(byte.lookup(jnp.asarray(probe))),
+        np.asarray(packedt.lookup(jnp.asarray(probe))))
+
+
+def test_packed_word_fused_scan_matches_byte(monkeypatch, tmp_path):
+    """The fused Phase-B scan consumes the packed table through
+    lookup_traced's dtype dispatch — same ref_index output."""
+    from palace_tpu.config import KmerParams
+    from palace_tpu.search.eref import run_search
+
+    rng = np.random.default_rng(5)
+    lut = "ACGT"
+    ref = "".join(lut[c] for c in rng.integers(0, 4, 4000))
+    db = tmp_path / "db.fasta"
+    db.write_text(f">refA\n{ref}\n")
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as fh:
+        for i in range(0, 3800, 25):
+            r = ref[i : i + 100]
+            for _ in range(3):
+                fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    from palace_tpu.search.index import build_index
+
+    index = build_index(db, k=18, save=False)
+    params = KmerParams(k=18, window=200)
+    base = run_search(str(fq), str(fq), index, params,
+                      tmp_path / "ref_names_a.txt")
+    monkeypatch.setenv("PALACE_TABLE_PACKED", "1")
+    packed = run_search(str(fq), str(fq), index, params,
+                        tmp_path / "ref_names_b.txt")
+    assert [h.line() for h in base] == [h.line() for h in packed]
+    assert base and base[0].ref_index == 1
+
+
 def test_sharded_add_packed_matches_single(eight_devices):
     from palace_tpu.ops.kmer import pack_codes_mask
 
