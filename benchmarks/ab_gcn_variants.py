@@ -157,35 +157,68 @@ def main() -> None:
             x = jax.nn.relu(x)
         return x.transpose(0, 2, 1).reshape(B, cfg.flat_dim)
 
+    def conv_tap(params, x):
+        """Channels-last; each conv as K accumulated (B·L', C)@(C, O)
+        MXU matmuls over shifted input views — no conv lowering at
+        all, and XLA can fuse the adds into the matmul epilogues."""
+        x = x.reshape(B, gd, pn).transpose(0, 2, 1)  # (B, L, C)
+        for i in (1, 2, 3):
+            w = params[f"conv{i}.w"]  # (O, C, K)
+            K = w.shape[2]
+            L_out = x.shape[1] - K + 1
+            acc = None
+            for k in range(K):
+                part = x[:, k:k + L_out, :] @ w[:, :, k].T
+                acc = part if acc is None else acc + part
+            x = jax.nn.relu(acc + params[f"conv{i}.b"][None, None, :])
+        return x.transpose(0, 2, 1).reshape(B, cfg.flat_dim)
+
+    def conv_im2col(params, x):
+        """Channels-last; materialise the K shifted views once and run
+        ONE (B·L', K·C)@(K·C, O) matmul per conv."""
+        x = x.reshape(B, gd, pn).transpose(0, 2, 1)  # (B, L, C)
+        for i in (1, 2, 3):
+            w = params[f"conv{i}.w"]  # (O, C, K)
+            O, C, K = w.shape
+            L_out = x.shape[1] - K + 1
+            cols = jnp.concatenate(
+                [x[:, k:k + L_out, :] for k in range(K)], axis=2)  # (B,L',K·C)
+            wm = w.transpose(2, 1, 0).reshape(K * C, O)            # (K·C, O)
+            x = jax.nn.relu(cols @ wm + params[f"conv{i}.b"][None, None, :])
+        return x.transpose(0, 2, 1).reshape(B, cfg.flat_dim)
+
     note("conv parity")
+    variants = [("nch", conv_nch), ("nhc", conv_nhc), ("tap", conv_tap),
+                ("im2col", conv_im2col)]
     ca = jax.jit(conv_nch)(params, xbig0)
-    cb = jax.jit(conv_nhc)(params, xbig0)
-    diff = float(jnp.max(jnp.abs(ca.astype(jnp.float32) - cb.astype(jnp.float32))))
-    out["conv_parity_maxdiff"] = diff
+    for name, fn in variants[1:]:
+        cb = jax.jit(fn)(params, xbig0)
+        diff = float(jnp.max(jnp.abs(ca.astype(jnp.float32)
+                                     - cb.astype(jnp.float32))))
+        out[f"conv_parity_maxdiff_{name}"] = diff
     save()
 
-    @jax.jit
-    def conv_a(params, x, salt):
-        return conv_nch(params, x + salt.astype(dtype) * 0.001).sum()
-
-    @jax.jit
-    def conv_b(params, x, salt):
-        return conv_nhc(params, x + salt.astype(dtype) * 0.001).sum()
+    timed = {}
+    for name, fn in variants:
+        @jax.jit
+        def conv_t(params, x, salt, _fn=fn):
+            return _fn(params, x + salt.astype(dtype) * 0.001).sum()
+        np.asarray(conv_t(params, xbig0, jnp.int32(0)))
+        timed[name] = conv_t
 
     note("conv timing (interleaved)")
-    np.asarray(conv_a(params, xbig0, jnp.int32(0)))
-    np.asarray(conv_b(params, xbig0, jnp.int32(0)))
-    a_ts, b_ts = [], []
+    ts_by = {name: [] for name, _ in variants}
     for r in range(REPS):
-        for fn, ts in ((conv_a, a_ts), (conv_b, b_ts)):
+        for name, _ in variants:
+            fn = timed[name]
             t0 = time.perf_counter()
             last = None
             for i in range(ITERS):
                 last = fn(params, xbig0, jnp.int32(r * ITERS + i + 1))
             np.asarray(last)
-            ts.append(time.perf_counter() - t0)
-    out["conv_nch_ms"] = statistics.median(a_ts) / ITERS * 1e3
-    out["conv_nhc_ms"] = statistics.median(b_ts) / ITERS * 1e3
+            ts_by[name].append(time.perf_counter() - t0)
+    for name, _ in variants:
+        out[f"conv_{name}_ms"] = statistics.median(ts_by[name]) / ITERS * 1e3
     save()
     print(json.dumps(out, indent=1))
 

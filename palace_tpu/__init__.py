@@ -28,3 +28,24 @@ TPU device meshes rather than the reference's CPU/CUDA stack:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_jit_cache() -> None:
+    """Persistent XLA compilation cache, on by default for every
+    import of the package (production default, not just the CLI).
+
+    The engine's jit set is stable across runs (fixed shapes by
+    design: READ_BATCH batches, {2^n, 1.5·2^n} Phase-B buckets), so a
+    disk cache turns every run after the first into a warm start —
+    first-compile on the tunneled TPU costs tens of seconds per kernel
+    and would otherwise recur per process.  Opt out / relocate via
+    PALACE_NO_COMPILE_CACHE / PALACE_COMPILE_CACHE_DIR."""
+    try:
+        from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:  # jax absent or too old for the knobs — run cold
+        pass
+
+
+_enable_persistent_jit_cache()

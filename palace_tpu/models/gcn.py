@@ -26,6 +26,7 @@ bit-compatible with reference checkpoints.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -241,16 +242,29 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
     # (phage_scoring.py:112): (B·4096, 128) row-major → (B, 128, 4096)
     x = x_p.reshape(B, gd, pn)
 
-    # Conv1d stack (phage_scoring.py:113-117), NCH layout
-    dn = ("NCH", "OIH", "NCH")
-    for i, drop_key_idx in ((1, None), (2, 4), (3, 5)):
-        x = jax.lax.conv_general_dilated(
-            x, params[f"conv{i}.w"], window_strides=(1,), padding="VALID",
-            dimension_numbers=dn,
-        ) + params[f"conv{i}.b"][None, :, None]
-        x = jax.nn.relu(x)
-        if drop_key_idx is not None:
-            x = _dropout(x, cfg.drop_rate, keys[drop_key_idx])
+    # Conv1d stack (phage_scoring.py:113-117).  Eval path: fused Pallas
+    # kernel — one batch row's whole activation stays in VMEM through
+    # all three convs+relus (XLA's conv lowering round-trips each
+    # intermediate through HBM and ran ~5× its bf16 roofline,
+    # benchmarks/ab_gcn_variants.json).  Training (dropout between
+    # convs) and non-TPU keep the XLA convs.
+    from palace_tpu.ops.pallas_kernels import conv_head_pallas, use_pallas
+
+    if (dropout_key is None and use_pallas()
+            and os.environ.get("PALACE_GCN_CONV") != "xla"):
+        x = conv_head_pallas(
+            x, [params[f"conv{i}.w"] for i in (1, 2, 3)],
+            [params[f"conv{i}.b"] for i in (1, 2, 3)])
+    else:
+        dn = ("NCH", "OIH", "NCH")
+        for i, drop_key_idx in ((1, None), (2, 4), (3, 5)):
+            x = jax.lax.conv_general_dilated(
+                x, params[f"conv{i}.w"], window_strides=(1,), padding="VALID",
+                dimension_numbers=dn,
+            ) + params[f"conv{i}.b"][None, :, None]
+            x = jax.nn.relu(x)
+            if drop_key_idx is not None:
+                x = _dropout(x, cfg.drop_rate, keys[drop_key_idx])
 
     x = x.reshape(B, cfg.flat_dim)
     x = jax.nn.relu(x @ params["d1.w"] + params["d1.b"])

@@ -211,9 +211,10 @@ def _update_packed_words_traced(table: jnp.ndarray, hashes: jnp.ndarray,
                                    indices_are_sorted=True)
 
 
+# no donation: add_kmers documents VALUE semantics (callers may keep
+# the old CountTable); only the fused add_packed path donates
 _update_table_packed_words = jax.jit(
-    _update_packed_words_traced, static_argnames=("cap",),
-    donate_argnums=(0,))
+    _update_packed_words_traced, static_argnames=("cap",))
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "perm_key", "k"),

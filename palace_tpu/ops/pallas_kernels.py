@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the hot ops.
 
-Two kernels (with jnp fallbacks selected automatically off-TPU or via
+Three kernels (with jnp fallbacks selected automatically off-TPU or via
 ``PALACE_NO_PALLAS=1``):
 
 * ``transition_counts_pallas`` — the 3-mer transition-count encoder
@@ -15,6 +15,15 @@ Two kernels (with jnp fallbacks selected automatically off-TPU or via
   stream through VMEM; the running window needs the previous ``window``
   indicator values, carried across the (sequential) TPU grid in VMEM
   scratch.
+
+* ``conv_head_pallas`` — the GCN scorer's 3-layer Conv1d head
+  (reference phage_scoring.py:113-117).  XLA's conv lowering round-trips
+  each (B, 64, ~4089) intermediate through HBM and ran the stack at
+  ~5× its bf16 roofline (benchmarks/ab_gcn_variants.json: tap-matmul
+  and im2col re-reads were 3–4× worse still); this kernel keeps one
+  batch row's whole activation in VMEM and runs all three convs + relus
+  as per-tap MXU dots with f32 accumulation, touching HBM once in and
+  once out.
 """
 from __future__ import annotations
 
@@ -250,3 +259,77 @@ def good_windows_pallas(
         interpret=_interpret(),
     )(single_p, trio_p)
     return out.reshape(-1)[:L].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# fused GCN conv-head kernel
+# ---------------------------------------------------------------------------
+
+def _conv_head_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                      out_ref, *, widths: Tuple[int, int, int, int]):
+    """Grid (B,): one batch row's full 3-conv stack in VMEM.
+
+    x_ref:  (1, C0, W0) input activations (zero-padded beyond pn)
+    wi_ref: (K, O_i, C_i) tap-major weights; bi_ref: (O_i, 1) biases
+    out_ref:(1, O3, W3)
+
+    Each layer is K accumulated (O, C)·(C, W) MXU dots over statically
+    shifted lane slices with f32 accumulation (the XLA conv's internal
+    semantics), then bias+relu cast back to the activation dtype.
+    Widths shrink by a lane-aligned 128 per layer so every slice is
+    in-bounds and lane-aligned; the caller slices the valid prefix.
+    """
+    W0, W1, W2, W3 = widths
+    y = x_ref[0]
+    for w_ref, b_ref, w_out in ((w1_ref, b1_ref, W1), (w2_ref, b2_ref, W2),
+                                (w3_ref, b3_ref, W3)):
+        taps = w_ref.shape[0]
+        acc = None
+        for k in range(taps):
+            part = jax.lax.dot_general(
+                w_ref[k], y[:, k:k + w_out],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        acc = acc + b_ref[:].astype(jnp.float32)
+        y = jnp.maximum(acc, 0.0).astype(x_ref.dtype)
+    out_ref[0] = y
+
+
+def conv_head_pallas(x: jnp.ndarray, weights, biases) -> jnp.ndarray:
+    """The GCN scorer's Conv1d(k=8)×3 + relu head, fused.
+
+    x: (B, C0, L) channel-major activations (the checkpoint-compatible
+    channel-scramble layout, models/gcn.py); ``weights`` three (O, C, K)
+    arrays, ``biases`` three (O,) arrays.  Returns (B, O3, L_out) with
+    L_out = L - 3·(K-1), bit-comparable to the XLA conv path within
+    bf16 accumulation-order tolerance.
+    """
+    B, C0, L = x.shape
+    K = weights[0].shape[2]
+    L_out = L - 3 * (K - 1)
+    # lane-aligned cascade: each layer shrinks by 128 ≥ K-1, last width
+    # still covers L_out
+    W3 = -(-L // 128) * 128
+    W2, W1, W0 = W3 + 128, W3 + 256, W3 + 384
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (0, W0 - L)))
+    wt = [jnp.moveaxis(w, 2, 0) for w in weights]        # (K, O, C)
+    bt = [b[:, None] for b in biases]                     # (O, 1)
+    O3 = weights[2].shape[0]
+
+    kernel = functools.partial(
+        _conv_head_kernel, widths=(W0, W1, W2, W3))
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C0, W0), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full, full, full, full, full, full],
+        out_specs=pl.BlockSpec((1, O3, W3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O3, W3), x.dtype),
+        interpret=_interpret(),
+    )(x_p, wt[0], bt[0], wt[1], bt[1], wt[2], bt[2])
+    return out[:, :, :L_out]

@@ -86,6 +86,32 @@ def good_windows(
     return (one >= one_min) & (three >= three_min)
 
 
+def good_windows_batch(
+    counts: jnp.ndarray,
+    hashes: jnp.ndarray,
+    window: int,
+    one_min: int,
+    three_min: int,
+    least_depth: int = 3,
+) -> jnp.ndarray:
+    """Batched (traceable) ``good_windows``: counts/hashes (NB, L, 3)
+    → good (NB, L).  Row semantics identical to the single-ref form —
+    the cumsum/roll window runs along axis 1 independently per row, so
+    one dispatch scans a whole chunk of same-bucket references
+    (extract_ref.cpp streams refs thread-split; here they stack)."""
+    hit = (counts == least_depth) & (hashes != 0)
+    hit_num = jnp.sum(hit.astype(jnp.int32), axis=2)      # (NB, L)
+    single = (hit_num > 0).astype(jnp.int32)
+    trio = (hit_num == 3).astype(jnp.int32)
+    cs = jnp.cumsum(single, axis=1)
+    ct = jnp.cumsum(trio, axis=1)
+    NB, L = hit_num.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (NB, L), 1)
+    one = jnp.where(pos < window, cs, cs - jnp.roll(cs, window, axis=1))
+    three = jnp.where(pos < window, ct, ct - jnp.roll(ct, window, axis=1))
+    return (one >= one_min) & (three >= three_min)
+
+
 def intervals_from_good(good: np.ndarray, ref_len: int, window: int) -> List[Tuple[int, int]]:
     """Replay the reference interval state machine over transition
     events (extract_ref.cpp:568-609)."""
