@@ -8,6 +8,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # demo-genome reconstruction e2e
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 

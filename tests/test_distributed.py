@@ -1,6 +1,9 @@
 """Multi-host helpers (single-process semantics + global-array assembly
 on the 8-virtual-device mesh)."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process jax.distributed subprocesses
 
 import jax
 from jax.sharding import PartitionSpec as P

@@ -63,11 +63,15 @@ def _binary_usable() -> bool:
     return True
 
 
-pytestmark = pytest.mark.skipif(
-    not _binary_usable(),
-    reason="reference eref binary not executable here (missing, wrong arch, "
-    "or <28 GB RAM available)",
-)
+pytestmark = [
+    pytest.mark.slow,  # ~5 min/scenario: each allocates+scans the
+    # binary's 4 GiB count table (full file ~35 min — end-of-round tier)
+    pytest.mark.skipif(
+        not _binary_usable(),
+        reason="reference eref binary not executable here (missing, wrong "
+        "arch, or <28 GB RAM available)",
+    ),
+]
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}

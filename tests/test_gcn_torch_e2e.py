@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch-oracle end-to-end comparisons
+
 torch = pytest.importorskip("torch")
 
 from palace_tpu.io.fasta import write_fasta  # noqa: E402

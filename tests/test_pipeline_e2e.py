@@ -12,6 +12,8 @@ own, reconstructing the phage as one cycle record.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full synthetic pipeline runs
+
 from palace_tpu.config import PalaceConfig
 from palace_tpu.io.bam import FLAG_MREVERSE, FLAG_PAIRED, BamFile, BamRecord, write_bam
 from palace_tpu.io.fasta import build_fai, iter_fasta, write_fasta

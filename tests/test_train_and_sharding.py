@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # training steps over the virtual mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from palace_tpu.models.gcn import GCNConfig, init_params

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # orbax checkpoint round-trips
+
 import jax
 
 from palace_tpu.models.gcn import GCNConfig
