@@ -147,67 +147,44 @@ def _update_packed_words_traced(table: jnp.ndarray, hashes: jnp.ndarray,
     byte table to 2^30 words, back inside the fast regime, and to 1 GiB
     of HBM.  Requires ``cap ≤ 3`` (2 bits per counter).
 
-    Exactness: the batch is sorted, so updates sharing a word are
-    adjacent.  Each element computes its own field's saturated value
-    from the OLD word (``min(old_sub + run_total, cap)`` — identical
-    for every duplicate of a value); per-word aggregation is a modular
-    cumsum segment-sum of per-VALUE field deltas (distinct values in a
-    word occupy disjoint 2-bit fields, so their one-per-value deltas
-    sum without carries), and every member of a word-run then writes
-    the identical merged word — a duplicate-safe scatter-set with a
-    truthful ``indices_are_sorted`` hint, exactly like the byte path.
+    Exactness: the batch is sorted, so duplicates of a value form runs
+    and every element knows its value's total multiplicity.  Each
+    distinct value contributes ONE field delta
+    ``(min(old_sub + total, cap) − old_sub) << shift`` (at its run's
+    last position; duplicates contribute 0) via ONE scatter-ADD:
+    distinct values sharing a uint32 word occupy disjoint 2-bit fields
+    and each field's result stays ≤ cap ≤ 3, so the adds can never
+    carry across fields — the merged word is exact with no per-word
+    segment machinery at all.  (The previous formulation rebuilt whole
+    words through segment sums of masked contributions: 2 × 12.6 M-
+    element cumsums + 4 prefix gathers per batch — measured ~400 ms of
+    the 770 ms 32 k-read batch update on v5e; this form is one gather +
+    one scatter-add around the shared sort.)
     """
     assert cap <= 3, "packed table holds 2-bit counters (cap <= 3)"
     s, total = _sorted_run_lengths(hashes, valid)
     n = s.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
-    word = jax.lax.shift_right_logical(s, jnp.uint32(2))
-    sub = (s & jnp.uint32(3)).astype(jnp.uint32)
     row = jax.lax.shift_right_logical(s, jnp.uint32(16)).astype(jnp.int32)
     colw = ((s & jnp.uint32(0xFFFF)) >> jnp.uint32(2)).astype(jnp.int32)
+    shift = jnp.uint32(2) * (s & jnp.uint32(3))
 
     old_word = table[row, colw]
-    shift = jnp.uint32(2) * sub
     old_sub = (jax.lax.shift_right_logical(old_word, shift)
                & jnp.uint32(3)).astype(jnp.int32)
-    new_sub = jnp.minimum(old_sub + total, jnp.int32(cap)).astype(jnp.uint32)
-    contrib = jax.lax.shift_left(new_sub, shift)
-    fmask = jax.lax.shift_left(jnp.uint32(3), shift)
+    new_sub = jnp.minimum(old_sub + total, jnp.int32(cap))
 
     # one delta per distinct VALUE (at its run's last position)
     nxt_s = jnp.concatenate([s[1:], s[-1:]])
     v_last = (pos == n - 1) | (s != nxt_s)
-    d_contrib = jnp.where(v_last, contrib, jnp.uint32(0))
-    d_mask = jnp.where(v_last, fmask, jnp.uint32(0))
+    delta = jnp.where(v_last, (new_sub - old_sub).astype(jnp.uint32), 0)
+    delta = jax.lax.shift_left(delta, shift)
 
-    # word-run boundaries (first/last index of each word's stretch)
-    prev_w = jnp.concatenate([word[:1], word[:-1]])
-    nxt_w = jnp.concatenate([word[1:], word[-1:]])
-    w_new = (pos == 0) | (word != prev_w)
-    w_last = (pos == n - 1) | (word != nxt_w)
-    w_first_pos = jax.lax.cummax(jnp.where(w_new, pos, -1))
-    w_last_pos = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(w_last, pos, n))))
-
-    # segment sums via modular prefix sums: fields are disjoint and
-    # appear once per value, so the in-word sum has no carries; the
-    # uint32 prefix wraps mod 2^32 and the difference is still exact
-    P_c = jnp.cumsum(d_contrib, dtype=jnp.uint32)
-    P_m = jnp.cumsum(d_mask, dtype=jnp.uint32)
-    sum_at_last_c = P_c[w_last_pos]
-    sum_at_last_m = P_m[w_last_pos]
-    before = jnp.maximum(w_first_pos - 1, 0)
-    first_is_zero = w_first_pos == 0
-    base_c = jnp.where(first_is_zero, jnp.uint32(0), P_c[before])
-    base_m = jnp.where(first_is_zero, jnp.uint32(0), P_m[before])
-    seg_contrib = sum_at_last_c - base_c
-    seg_mask = sum_at_last_m - base_m
-
-    new_word = (old_word & ~seg_mask) | seg_contrib
     # slot 0 (the reference's permanent-miss slot) lives in word 0
     # field 0 and is never read back — writing it is harmless, same as
     # the byte path
-    return table.at[row, colw].set(new_word, mode="drop",
+    return table.at[row, colw].add(delta, mode="drop",
                                    indices_are_sorted=True)
 
 
@@ -234,6 +211,23 @@ def packed_table_shape(k: int) -> Tuple[int, int]:
     rows, width = table_shape(k)
     assert width % 4 == 0
     return rows, width // 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "perm_key", "k", "B", "L", "exc_cap"),
+    donate_argnums=(0,))
+def _update_fused_wire(table, wire, cap: int, perm_key, k: int,
+                       B: int, L: int, exc_cap: int):
+    """Fused Phase-A batch update from the single-buffer wire format
+    (kmer.pack_codes_wire): one put + one dispatch per batch, table
+    donated.  Dispatches on table dtype like lookup_traced."""
+    from palace_tpu.ops.kmer import unpack_codes_wire
+
+    codes = unpack_codes_wire(wire, B, L, exc_cap)
+    hashes, valid = kmer_hashes_traced(codes, perm_key, k)
+    if table.dtype == jnp.uint32:
+        return _update_packed_words_traced(table, hashes, valid, cap)
+    return _update_set_traced(table, hashes, valid, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "perm_key", "k"),
@@ -361,6 +355,18 @@ class CountTable:
             self.table, jnp.asarray(packed), jnp.asarray(mask),
             self.cap, perm_to_key(perm), kmer_k,
         )
+        return CountTable(new, self.k, self.cap)
+
+    def add_wire(self, wire: np.ndarray, B: int, L: int,
+                 perm: np.ndarray, kmer_k: int,
+                 exc_cap: Optional[int] = None) -> "CountTable":
+        """Fused single-put update from the length-coded wire buffer
+        (kmer.pack_codes_wire).  DONATES the current table buffer."""
+        from palace_tpu.ops.kmer import WIRE_EXC_CAP
+
+        new = _update_fused_wire(
+            self.table, jnp.asarray(wire), self.cap, perm_to_key(perm),
+            kmer_k, B, L, WIRE_EXC_CAP if exc_cap is None else exc_cap)
         return CountTable(new, self.k, self.cap)
 
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:

@@ -26,7 +26,7 @@ k·3 shifted adds unroll into fused VPU ops under jit.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -159,6 +159,71 @@ def unpack_codes_mask(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     bits = jnp.stack([(m >> i) & 1 for i in range(8)], axis=2)
     inv = bits.reshape(m.shape[0], m.shape[1] * 8).astype(bool)
     return jnp.where(inv, 4, codes)
+
+
+#: fixed exception capacity of the length-coded wire format (in-read
+#: invalid positions, e.g. N bases — rare in quality-filtered data)
+WIRE_EXC_CAP = 2048
+
+
+def pack_codes_wire(codes: np.ndarray,
+                    cap: int = WIRE_EXC_CAP) -> Optional[np.ndarray]:
+    """Host-side wire packing v2: ONE flat uint8 buffer per batch.
+
+    Layout: ``[B·L/4 bytes of 2-bit codes | B uint8 row lengths |
+    cap little-endian uint32 exception flat-indices (0xFFFFFFFF pad)]``.
+
+    vs ``pack_codes_mask`` this drops the 1-bit/base invalid mask
+    (1/3 of the wire) — padding is derivable from the row length and
+    in-read invalid bases (N) ride a fixed sparse exception list —
+    and, being a single array, costs ONE relay put instead of two
+    (~65 ms RTT each, benchmarks/race_eref.json).  Trailing in-read
+    Ns fold into the length (identical invalid semantics).
+
+    Returns None when L > 255 or the batch has more than ``cap``
+    in-read invalid positions; callers fall back to pack_codes_mask.
+    """
+    c = codes.astype(np.uint8)
+    B, L = c.shape
+    if L > 255 or L % 4:
+        return None
+    inv = c >= 4
+    valid_any = ~inv.all(axis=1)
+    last_valid = L - 1 - np.argmax(~inv[:, ::-1], axis=1)
+    lens = np.where(valid_any, last_valid + 1, 0)
+    exc_mask = inv & (np.arange(L)[None, :] < lens[:, None])
+    exc = np.flatnonzero(exc_mask)
+    if exc.size > cap:
+        return None
+    c2 = np.where(inv, 0, c)
+    packed = (c2[:, 0::4] | (c2[:, 1::4] << 2) | (c2[:, 2::4] << 4)
+              | (c2[:, 3::4] << 6))
+    excw = np.full(cap, 0xFFFFFFFF, np.uint32)
+    excw[: exc.size] = exc.astype(np.uint32)
+    return np.concatenate([packed.reshape(-1), lens.astype(np.uint8),
+                           excw.view(np.uint8)])
+
+
+def unpack_codes_wire(wire: jnp.ndarray, B: int, L: int,
+                      cap: int = WIRE_EXC_CAP) -> jnp.ndarray:
+    """Device-side (traceable) inverse of ``pack_codes_wire`` →
+    (B, L) int32 codes with 4 restored beyond each row's length and at
+    exception positions."""
+    nP = B * (L // 4)
+    p = wire[:nP].reshape(B, L // 4).astype(jnp.int32)
+    codes = jnp.stack([(p >> (2 * i)) & 3 for i in range(4)], axis=2)
+    codes = codes.reshape(B, L)
+    lens = wire[nP:nP + B].astype(jnp.int32)
+    excb = wire[nP + B:nP + B + 4 * cap].reshape(cap, 4)
+    # keep indices UNSIGNED: as int32 the 0xFFFFFFFF sentinel would be
+    # -1, which .at[] wraps numpy-style to the LAST element instead of
+    # dropping; as uint32 it is out of range and mode="drop" drops it
+    exc = jax.lax.bitcast_convert_type(excb, jnp.uint32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    codes = jnp.where(pos < lens[:, None], codes, 4)
+    flat = codes.reshape(-1)
+    flat = flat.at[exc].set(4, mode="drop")
+    return flat.reshape(B, L)
 
 
 def kmer_hashes_np(codes: np.ndarray, perm: np.ndarray, k: int):

@@ -40,6 +40,7 @@ from palace_tpu.ops.kmer import (
     kmer_hashes,
     kmer_hashes_traced,
     pack_codes_mask,
+    pack_codes_wire,
     perm_to_key,
     unpack_codes_mask,
 )
@@ -186,9 +187,19 @@ def count_reads_into_table(
             if codes.shape[0] < batch:  # keep one jit shape
                 codes = np.pad(codes, ((0, batch - codes.shape[0]), (0, 0)),
                                constant_values=4)
-            # wire-packed fused update: 2-bit codes + invalid bitmask,
-            # unpack→hash→table update in one dispatch (the tunneled
-            # chip is wire- and round-trip-bound; 3.6× fewer bytes)
+            # wire-packed fused update, one dispatch per batch (the
+            # tunneled chip is wire- and round-trip-bound).  Single-chip
+            # tables take the v2 single-buffer format (2-bit codes +
+            # row lengths + sparse N-exceptions: 41 B/read and ONE put
+            # instead of 60 B/read over two puts); sharded tables and
+            # exception-overflow batches use the bitmask format.
+            if isinstance(table, CountTable):
+                wire = pack_codes_wire(codes)
+                if wire is not None:
+                    table = table.add_wire(
+                        wire, codes.shape[0], codes.shape[1],
+                        index.perm, params.k)
+                    continue
             packed, mask = pack_codes_mask(codes)
             table = table.add_packed(packed, mask, index.perm, params.k)
     GLOBAL_METRICS.record(

@@ -570,3 +570,56 @@ def test_sharded_fused_scan_matches_single(tmp_path, eight_devices):
 
     assert [h.line() for h in hits_single] == [h.line() for h in hits_sharded]
     assert [h.ref_index for h in hits_sharded] == [2]
+
+
+def test_wire_format_parity():
+    """The v2 single-buffer wire path (pack_codes_wire/add_wire) must
+    produce a bit-identical count table to the bitmask path for batches
+    with padding, in-read Ns, trailing Ns, and all-invalid rows."""
+    import jax.numpy as jnp
+
+    from palace_tpu.ops.count_table import CountTable
+    from palace_tpu.ops.kmer import (
+        make_choose_coder, pack_codes_mask, pack_codes_wire,
+        unpack_codes_mask, unpack_codes_wire,
+    )
+
+    rng = np.random.default_rng(42)
+    # k=20 keeps the full-table equality check at 2^20 slots (a k=32
+    # byte table is 4 GiB on CPU — comparing two of those hangs)
+    B, L, k = 64, 64, 20
+    codes = rng.integers(0, 4, (B, L), dtype=np.uint8)
+    lens = rng.integers(0, L + 1, B)
+    for i in range(B):
+        codes[i, lens[i]:] = 4                       # padding
+    codes[3, 10] = 4                                  # in-read N
+    codes[7, 0] = 4                                   # leading N
+    codes[11, :] = 4                                  # all-invalid row
+    if lens[5] > 2:
+        codes[5, lens[5] - 1] = 4                     # trailing N → length
+
+    wire = pack_codes_wire(codes)
+    assert wire is not None
+    got = np.asarray(unpack_codes_wire(jnp.asarray(wire), B, L))
+    packed, mask = pack_codes_mask(codes)
+    want = np.asarray(unpack_codes_mask(jnp.asarray(packed), jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, want, err_msg="decoded codes differ")
+
+    perm = make_choose_coder(k)
+    t_wire = CountTable.create(k).add_wire(wire, B, L, perm, k)
+    t_mask = CountTable.create(k).add_packed(packed, mask, perm, k)
+    np.testing.assert_array_equal(np.asarray(t_wire.table),
+                                  np.asarray(t_mask.table))
+
+
+def test_wire_format_overflow_fallback():
+    """Batches with more in-read invalid positions than the exception
+    capacity must signal fallback (None), never silently drop."""
+    from palace_tpu.ops.kmer import WIRE_EXC_CAP, pack_codes_wire
+
+    B, L = 64, 64
+    codes = np.zeros((B, L), dtype=np.uint8)
+    codes[:, 1] = 4          # B in-read exceptions (col 1, valid tail after)
+    codes[:, 2:] = 1
+    assert pack_codes_wire(codes, cap=8) is None
+    assert pack_codes_wire(codes) is not None  # default cap fits 64
