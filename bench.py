@@ -143,20 +143,50 @@ def main() -> None:
     # background thread runs the native ASCII→2-bit packer for group
     # i+1 while the main thread ships + dispatches group i; the device
     # queue overlaps compute behind both.
-    t0 = time.perf_counter()
-    done = 0
-    last = None
-    with prof, ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(pack_group, groups[0])
-        for i in range(len(groups)):
-            payload = fut.result()
-            if i + 1 < len(groups):
-                fut = pool.submit(pack_group, groups[i + 1])
+    def one_rep() -> float:
+        t0 = time.perf_counter()
+        done = 0
+        last = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(pack_group, groups[0])
+            for i in range(len(groups)):
+                payload = fut.result()
+                if i + 1 < len(groups):
+                    fut = pool.submit(pack_group, groups[i + 1])
+                last = dispatch(payload)
+                done += batch * fuse_k
+            np.asarray(last)  # sync: waits for all queued device work
+        return done / (time.perf_counter() - t0)
+
+    # ≥3 repetitions with spread: the relay's sustained rate swings
+    # 2–3× across a morning (VERDICT r3 weak #4) — a single sample is
+    # weather, the median is the number
+    import statistics
+
+    reps = int(os.environ.get("PALACE_BENCH_REPS", "3"))
+    with prof:
+        rates = [one_rep() for _ in range(max(1, reps))]
+    throughput = statistics.median(rates)
+
+    # device-side rate with PRE-STAGED inputs (payloads already on
+    # device): excludes host pack + wire put, so device regressions
+    # aren't masked by wire weather
+    device_rate = None
+    try:
+        staged = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for payload in pool.map(pack_group, groups):
+                staged.append(tuple(jnp.asarray(a) for a in payload))
+        jax.block_until_ready(staged[-1])
+        np.asarray(dispatch(staged[0]))  # ensure warm + staged complete
+        t0 = time.perf_counter()
+        last = None
+        for payload in staged:
             last = dispatch(payload)
-            done += batch * fuse_k
-        np.asarray(last)  # sync: waits for all queued device work
-    dt = time.perf_counter() - t0
-    throughput = done / dt
+        np.asarray(last)
+        device_rate = len(staged) * batch * fuse_k / (time.perf_counter() - t0)
+    except Exception:
+        pass
 
     baseline_file = Path(__file__).parent / "benchmarks" / "baseline_cpu.json"
     vs_baseline = 0.0
@@ -165,8 +195,9 @@ def main() -> None:
         if baseline.get("value"):
             vs_baseline = throughput / float(baseline["value"])
 
-    # MFU attribution (benchmarks/ANALYSIS.md): ~1.7 GF/contig of dense
-    # work; v5e peak 197 TF/s bf16 / ~99 TF/s f32-equivalent
+    # MFU *estimate* — a derived constant, not a measurement: ~1.7
+    # GF/contig of dense work (analytic count, benchmarks/ANALYSIS.md)
+    # over an assumed v5e peak of 197 TF/s bf16 / ~99 TF/s f32
     gf_per_contig = 1.7
     peak_tf = 197.0 if dtype == jnp.bfloat16 else 99.0
     mfu = throughput * gf_per_contig / (peak_tf * 1e3)
@@ -211,8 +242,12 @@ def main() -> None:
         "value": round(throughput, 3),
         "unit": "contigs/s",
         "vs_baseline": round(vs_baseline, 3),
-        "mfu": round(mfu, 4),
+        "reps_contigs_per_s": [round(r, 1) for r in rates],
+        "spread_min_max": [round(min(rates), 1), round(max(rates), 1)],
+        "mfu_est": round(mfu, 4),
     }
+    if device_rate:
+        result["device_contigs_per_s"] = round(device_rate, 1)
     if wire_roofline:
         result["wire_roofline_contigs_per_s"] = round(wire_roofline, 1)
         result["pct_of_wire_roofline"] = round(

@@ -30,6 +30,11 @@ def test_bench_json_contract():
     assert rec["unit"] == "contigs/s"
     assert rec["value"] > 0
     assert "vs_baseline" in rec
+    # robust-headline keys (VERDICT r3 weak #4/#5): median-of-reps with
+    # spread, and the MFU figure labeled as the estimate it is
+    assert len(rec["reps_contigs_per_s"]) >= 1
+    assert len(rec["spread_min_max"]) == 2
+    assert "mfu_est" in rec and "mfu" not in rec
 
 
 def test_wheel_smoke():
