@@ -86,6 +86,10 @@ class MatchingOptions:
     hints_path: Optional[str] = None  # -l contigs.paths
     hint_bonus: float = 5.0
     ref_order_bonus: float = 10.0
+    #: None = auto (exact blossom matching on small graphs in default/
+    #: -b/--aggressive modes; handshake for -s and bounded -i);
+    #: True/False forces
+    exact: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -435,8 +439,128 @@ class _Solver:
         return result
 
 
+def _solve_exact(solver: "_Solver") -> MatchingResult:
+    """OPTIMAL decomposition via maximum-weight general matching.
+
+    The chain model reduces exactly to a matching problem: every
+    segment instance contributes two *physical end* vertices (H = 5',
+    T = 3'); a junction realisation (A,oA)→(B,oB) is an edge between
+    the A-instance end it leaves (T for ``+``, H for ``-``) and the
+    B-instance end it enters (H for ``+``, T for ``-``), weighted like
+    the handshake solver (support + span + bonuses).  Any matching is a
+    valid copy-respecting path/cycle cover (instances are implicit
+    H–T edges; alternating instance/junction edges have degree ≤ 2),
+    junction budgets ``min(copy_l, copy_r)`` are implied by the end
+    counts, and a MAXIMUM-weight matching (blossom, networkx) is the
+    provably best cover — the ≤8-seg exhaustive oracle in
+    tests/test_matching.py pins this (the greedy handshake measured
+    ~28 % suboptimal on random tiny graphs).
+    """
+    import networkx as nx
+
+    copies = solver.copies
+    G = nx.Graph()
+    for name in sorted(copies):
+        for i in range(copies[name]):
+            G.add_node((name, i, "H"))
+            G.add_node((name, i, "T"))
+    for link in sorted(solver.weights, key=lambda l: l.sort_key()):
+        w = solver.weights[link]
+        a_end = "T" if link.lo == "+" else "H"
+        b_end = "H" if link.ro == "+" else "T"
+        for i in range(copies.get(link.left, 0)):
+            for j in range(copies.get(link.right, 0)):
+                u = (link.left, i, a_end)
+                v = (link.right, j, b_end)
+                if u == v:
+                    continue  # an end cannot join itself
+                if not G.has_edge(u, v) or G[u][v]["weight"] < w:
+                    G.add_edge(u, v, weight=w)
+    mate = {}
+    for u, v in nx.max_weight_matching(G, maxcardinality=False):
+        mate[u] = v
+        mate[v] = u
+
+    other = {"H": "T", "T": "H"}
+    result = MatchingResult()
+    visited: Set[Tuple[str, int]] = set()
+
+    # open paths first: start at an unmatched end of a terminal instance
+    for name in sorted(copies):
+        for i in range(copies[name]):
+            if (name, i) in visited:
+                continue
+            h_free = (name, i, "H") not in mate
+            t_free = (name, i, "T") not in mate
+            if not (h_free or t_free):
+                continue
+            if h_free and t_free:
+                continue  # isolated — handled as singleton below
+            entry = "H" if h_free else "T"
+            nodes: List[Tuple[str, str]] = []
+            cur = (name, i, entry)
+            while cur is not None:
+                nm, idx, e = cur
+                visited.add((nm, idx))
+                nodes.append((nm, "+" if e == "H" else "-"))
+                nxt = mate.get((nm, idx, other[e]))
+                cur = nxt
+            result.linear.append(_Walk(nodes))
+    # remaining fully-matched instances form cycles
+    for name in sorted(copies):
+        for i in range(copies[name]):
+            if (name, i) in visited or (name, i, "H") not in mate:
+                continue
+            nodes = []
+            cur = (name, i, "H")
+            while True:
+                nm, idx, e = cur
+                if (nm, idx) in visited:
+                    break
+                visited.add((nm, idx))
+                nodes.append((nm, "+" if e == "H" else "-"))
+                cur = mate[(nm, idx, other[e])]
+            result.cycles.append(_Walk(nodes, closed=True))
+
+    # isolated instances: at most one singleton per fully-unplaced
+    # segment (mirrors the handshake emitter)
+    placed = {seg for w in result.cycles + result.linear for seg, _ in w.nodes}
+    emitted: Set[str] = set()
+    for name in sorted(copies):
+        for i in range(copies[name]):
+            if (name, i) in visited:
+                continue
+            if name in placed or name in emitted:
+                continue
+            emitted.add(name)
+            result.linear.append(_Walk([(name, "+")]))
+    return result
+
+
+#: end-vertex count below which the exact matcher runs by default
+#: (blossom is O(V³): 600 ends ≈ sub-second; the global graph falls
+#: back to the iterative handshake)
+EXACT_END_LIMIT = 600
+
+
 def solve_matching(graph: Graph, opts: Optional[MatchingOptions] = None) -> MatchingResult:
-    return _Solver(graph, opts or MatchingOptions()).solve()
+    opts = opts or MatchingOptions()
+    solver = _Solver(graph, opts)
+    use_exact = opts.exact
+    if use_exact is None:
+        # auto: optimal matching for the (small) per-reference
+        # subgraphs where assembly quality is decided, unless the
+        # caller asked for bounded-iteration semantics (-i below the
+        # default) or the conservative -s abstention mode
+        n_ends = 2 * sum(solver.copies.values())
+        use_exact = (not opts.single_graph and opts.iterations >= 10
+                     and n_ends <= EXACT_END_LIMIT)
+    if use_exact:
+        try:
+            return _solve_exact(solver)
+        except ImportError:  # no networkx — handshake fallback
+            pass
+    return solver.solve()
 
 
 def solve_graph_file(
@@ -465,6 +589,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("-i", type=int, default=10, dest="iterations")
     ap.add_argument("-l", dest="hints", default=None)
     ap.add_argument("--aggressive", action="store_true")
+    ap.add_argument("--exact", action="store_true", default=None,
+                    help="force the optimal blossom matcher")
+    ap.add_argument("--no-exact", action="store_false", dest="exact",
+                    help="force the iterative handshake matcher")
     args = ap.parse_args(argv)
     opts = MatchingOptions(
         iterations=args.iterations,
@@ -472,6 +600,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         subgraph=args.subgraph,
         aggressive=args.aggressive,
         hints_path=args.hints,
+        exact=args.exact,
     )
     solve_graph_file(args.graph, args.linear, args.cycle, opts)
     return 0

@@ -366,3 +366,133 @@ def test_cycle_closure_budget_not_double_spent():
     assert _visit_counts(res)["A"] <= 2
     all_walks = [(w.tokens(), w.closed) for w in res.linear + res.cycles]
     assert (["A+", "A+"], True) in all_walks
+
+
+# ----------------------------------------------------------------------
+# Exhaustive brute-force oracle (VERDICT r3 next-round item 7): on tiny
+# graphs, enumerate EVERY copy-respecting path/cycle cover and assert
+# the default-mode solver's decomposition is a valid cover of maximum
+# total junction weight.
+
+
+def _oracle_max_weight(g):
+    """Max total weight over all covers: enumerate per-instance
+    orientations × successor assignments (DFS with junction budgets)."""
+    import itertools
+
+    from palace_tpu.matching.solver import Link
+
+    copies = {s.name: s.copy_number for s in g.segs.values()}
+    weights, budget = {}, {}
+    for j in g.juncs:
+        link = Link.canonical(j.left, j.left_orient, j.right, j.right_orient)
+        w = float(j.support + j.span_no_fastg)
+        weights[link] = max(weights.get(link, -1.0), w)
+        budget[link] = max(budget.get(link, 0),
+                           min(copies[j.left], copies[j.right]))
+    directed = {}
+    for link in weights:
+        directed.setdefault(
+            ((link.left, link.lo), (link.right, link.ro)), link)
+        directed.setdefault(
+            ((link.right, _flip(link.ro)), (link.left, _flip(link.lo))), link)
+    insts = [nm for nm in sorted(copies) for _ in range(copies[nm])]
+    n = len(insts)
+    best = [0.0]
+    for oris in itertools.product("+-", repeat=n):
+        used_in = [False] * n
+        use = {}
+
+        def dfs(u, acc):
+            if u == n:
+                best[0] = max(best[0], acc)
+                return
+            dfs(u + 1, acc)
+            for v in range(n):
+                if used_in[v]:
+                    continue
+                link = directed.get(((insts[u], oris[u]), (insts[v], oris[v])))
+                if link is None or use.get(link, 0) >= budget[link]:
+                    continue
+                use[link] = use.get(link, 0) + 1
+                used_in[v] = True
+                dfs(u + 1, acc + weights[link])
+                used_in[v] = False
+                use[link] -= 1
+
+        dfs(0, 0.0)
+    return best[0], weights, budget, copies
+
+
+def _achieved_weight(res, weights):
+    from palace_tpu.matching.solver import Link
+
+    tot = 0.0
+    for walk in res.linear + res.cycles:
+        pairs = list(zip(walk.nodes, walk.nodes[1:]))
+        if walk.closed:
+            pairs.append((walk.nodes[-1], walk.nodes[0]))
+        for (a, oa), (b, ob) in pairs:
+            tot += weights[Link.canonical(a, oa, b, ob)]
+    return tot
+
+
+def _tiny_graph(seed):
+    import random
+
+    rnd = random.Random(seed)
+    n = rnd.randint(2, 4)
+    names = [f"EDGE_{i}_length_{rnd.randint(1000, 9000)}_cov_5"
+             for i in range(n)]
+    segs = [_seg(nm, copy=rnd.randint(1, 2)) for nm in names]
+    while sum(s.copy_number for s in segs) > 5:  # oracle is exponential
+        segs[rnd.randrange(n)].copy_number = 1
+    juncs, seen = [], set()
+    for _ in range(rnd.randint(2, 2 * n + 2)):
+        a, b = rnd.choice(names), rnd.choice(names)
+        lo, ro = rnd.choice("+-"), rnd.choice("+-")
+        if (a, lo, b, ro) in seen:
+            continue
+        seen.add((a, lo, b, ro))
+        juncs.append(_junc(a, lo, b, ro, support=rnd.randint(5, 60)))
+    return _graph(segs, juncs)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_default_mode_weight_optimal_vs_oracle(seed):
+    """Default mode (auto-exact blossom matcher) must equal the
+    exhaustive oracle's max cover weight AND be a valid cover.  The
+    greedy handshake measured ~28% suboptimal on these seeds before
+    the exact matcher landed; the handshake remains available for -s /
+    bounded -i / oversized graphs and must stay admissible (≤ opt)."""
+    g = _tiny_graph(seed)
+    opt, weights, budget, copies = _oracle_max_weight(g)
+
+    res = solve_matching(g)
+    # validity: budgets + transitions
+    for name, cnt in _visit_counts(res).items():
+        assert cnt <= copies[name]
+    allowed = _allowed_pairs(g)
+    from palace_tpu.matching.solver import Link
+
+    link_uses = {}
+    for walk in res.linear + res.cycles:
+        nodes = list(walk.nodes)
+        pairs = list(zip(nodes, nodes[1:]))
+        if walk.closed:
+            pairs.append((nodes[-1], nodes[0]))
+        for u, v in pairs:
+            assert (u, v) in allowed
+            lk = Link.canonical(u[0], u[1], v[0], v[1])
+            link_uses[lk] = link_uses.get(lk, 0) + 1
+    for lk, uses in link_uses.items():
+        assert uses <= budget[lk], f"junction {lk} used {uses} > budget"
+    # optimality
+    ach = _achieved_weight(res, weights)
+    assert abs(ach - opt) < 1e-9, f"solver {ach} < oracle optimum {opt}"
+
+    # the handshake fallback stays admissible
+    from palace_tpu.matching.solver import MatchingOptions
+
+    hs = solve_matching(g, MatchingOptions(exact=False))
+    assert _achieved_weight(hs, weights) <= opt + 1e-9
