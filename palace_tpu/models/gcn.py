@@ -242,16 +242,19 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
     # (phage_scoring.py:112): (B·4096, 128) row-major → (B, 128, 4096)
     x = x_p.reshape(B, gd, pn)
 
-    # Conv1d stack (phage_scoring.py:113-117).  Eval path: fused Pallas
-    # kernel — one batch row's whole activation stays in VMEM through
-    # all three convs+relus (XLA's conv lowering round-trips each
-    # intermediate through HBM and ran ~5× its bf16 roofline,
-    # benchmarks/ab_gcn_variants.json).  Training (dropout between
-    # convs) and non-TPU keep the XLA convs.
+    # Conv1d stack (phage_scoring.py:113-117).  PALACE_GCN_CONV=pallas
+    # opts the eval path into the fused VMEM-resident kernel
+    # (conv_head_pallas); default stays XLA — the two measured EQUAL on
+    # v5e (~5.4–7 ms/batch interleaved, benchmarks/ANALYSIS.md): the
+    # stack is bound by the MXU's behaviour at M=64/N=64 dot shapes
+    # (~40 TF/s vs the 110 TF/s measured on square matmuls), which the
+    # kernel's layout variants (channel-major taps, spatial-major taps,
+    # K-stacking) could not lift, so fusing the HBM round-trips does
+    # not move the total.
     from palace_tpu.ops.pallas_kernels import conv_head_pallas, use_pallas
 
     if (dropout_key is None and use_pallas()
-            and os.environ.get("PALACE_GCN_CONV") != "xla"):
+            and os.environ.get("PALACE_GCN_CONV") == "pallas"):
         x = conv_head_pallas(
             x, [params[f"conv{i}.w"] for i in (1, 2, 3)],
             [params[f"conv{i}.b"] for i in (1, 2, 3)])
