@@ -35,6 +35,11 @@ REF_LEN = 20000
 
 
 def _worker(port: str, pid: int, nprocs: int, outdir: Path, k: int) -> None:
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1,
+                          file=open(outdir / f"stack_p{pid}.txt", "w"))
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 

@@ -411,6 +411,10 @@ def search_references(
                 args = tuple(jax.device_put(a, rep) for a in args)
             bits = scan(table_arr, packed_flat, mask_flat, *args)
             launched.append((chunk, bits))
+            if multiproc and len(launched) % 8 == 0:
+                # bound queue depth / process skew (same gloo-rendezvous
+                # hazard as the Phase-A loop — see run_search_distributed)
+                jax.block_until_ready(bits)
 
     hits: List[RefHit] = []
     for chunk, bits in launched:
@@ -522,10 +526,26 @@ def run_search_distributed(
         local_batches.extend([pad_batch] * (n_global - n_local))
 
     table = ShardedCountTable.create(mesh, params.k, params.least_depth)
-    for packed, mask in local_batches:
+    debug = os.environ.get("PALACE_DIST_DEBUG") == "1"
+    # Periodic SYMMETRIC sync: without it every process enqueues its
+    # whole batch stream asynchronously (measured ~30 GB of queued
+    # buffers at 1 M reads) and processes drift apart in wall-clock —
+    # far enough that a lazily-created gloo sub-communicator times out
+    # its 30 s key-value rendezvous mid-run ("Gloo context
+    # initialization failed: DEADLINE_EXCEEDED", reproduced and
+    # stack-dumped in round 4).  Blocking on the local table shards
+    # every few batches bounds both the queue depth and the skew; the
+    # wait itself is work the process must do anyway.
+    sync_every = int(os.environ.get("PALACE_DIST_SYNC_EVERY", "4"))
+    for bi, (packed, mask) in enumerate(local_batches):
         packed_g = global_array_from_local(packed, mesh, _P("data"))
         mask_g = global_array_from_local(mask, mesh, _P("data"))
         table = table.add_packed(packed_g, mask_g, index.perm, params.k)
+        if sync_every and bi % sync_every == sync_every - 1:
+            jax.block_until_ready(table.table)
+            if debug and jax.process_index() == 0:
+                logger.info("dist phase A: batch %d/%d",
+                            bi + 1, len(local_batches))
     GLOBAL_METRICS.record(
         "eref.count_reads", time.perf_counter() - t0, items=n_reads, unit="reads"
     )
