@@ -623,3 +623,76 @@ def test_wire_format_overflow_fallback():
     codes[:, 2:] = 1
     assert pack_codes_wire(codes, cap=8) is None
     assert pack_codes_wire(codes) is not None  # default cap fits 64
+
+
+def test_batched_scan_mixed_lengths_vs_per_ref_oracle():
+    """search_references chunks same-bucket references into batched
+    dispatches (CHUNK_POS cap, pow2 row padding); a DB engineered to
+    hit multiple buckets, multi-chunk buckets, and padded rows must
+    yield exactly the per-reference host-oracle results."""
+    import jax.numpy as jnp
+
+    from palace_tpu.config import KmerParams
+    from palace_tpu.ops.window import scan_reference
+    from palace_tpu.search import eref as eref_mod
+    from palace_tpu.search.eref import search_references
+    from palace_tpu.search.index import build_index
+    from palace_tpu.ops.count_table import CountTable
+
+    rng = np.random.default_rng(5)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 16
+    params = KmerParams(k=k, window=64)
+    # lengths spanning several {2^n, 1.5*2^n} buckets incl. duplicates
+    lengths = [300, 900, 900, 2100, 2100, 2100, 5000, 5000, 12000, 40]
+    seqs = [bytes(lut[rng.integers(0, 4, L)]).decode() for L in lengths]
+    import tempfile
+    from pathlib import Path
+    tmp = Path(tempfile.mkdtemp())
+    db = tmp / "db.fa"
+    with open(db, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">r{i}\n{s}\n")
+    index = build_index(db, k=k, save=False)
+
+    # shrink the chunk cap so multi-chunk buckets are exercised even at
+    # this tiny scale
+    old = eref_mod.CHUNK_POS
+    eref_mod.CHUNK_POS = 4096
+    try:
+        table = CountTable.create(k, params.least_depth)
+        # count reads tiling refs 1, 3 and 8 (indexes into `seqs`)
+        reads = []
+        for ri in (1, 3, 8):
+            s = seqs[ri]
+            for off in range(0, len(s) - 100, 20):
+                reads.append(s[off:off + 100])
+        from palace_tpu.ops.kmer import seq_to_codes
+        codes = np.full((len(reads), 104), 4, np.uint8)
+        for i, r in enumerate(reads):
+            codes[i, :len(r)] = seq_to_codes(r)
+        from palace_tpu.ops.kmer import kmer_hashes
+        h, v = kmer_hashes(jnp.asarray(codes), index.perm, k)
+        table = table.add_kmers(h, v)
+
+        got = [h2.line() for h2 in search_references(table, index, params)]
+    finally:
+        eref_mod.CHUNK_POS = old
+
+    want = []
+    for r in range(index.n_refs):
+        L = int(index.lengths[r])
+        if L <= k:
+            continue
+        hashes = index.ref_hashes(r)
+        counts = np.asarray(table.lookup(jnp.asarray(hashes)))
+        M = hashes.shape[0]
+        ch = np.zeros((L, 3), np.uint32); ch[:M] = hashes
+        cc = np.zeros((L, 3), np.uint8); cc[:M] = counts
+        hit = scan_reference(cc, ch, r + 1, L, params.window,
+                             params.hit_ratio, params.perfect_hit_ratio,
+                             params.min_cover_ratio, params.least_depth)
+        if hit:
+            want.append(hit.line())
+    assert got == want
+    assert len(got) >= 2  # the planted refs actually report
