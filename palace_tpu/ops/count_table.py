@@ -67,18 +67,21 @@ def lookup_traced(table: jnp.ndarray, hashes: jnp.ndarray) -> jnp.ndarray:
     """Traceable gather: counts for arbitrary-shape uint32 hashes
     against the 2-D table (hash 0 NOT masked here — callers apply the
     reference's slot-0 permanent-miss rule).  Dispatches statically on
-    dtype: uint8 → byte table, uint32 → word-packed table (4 × 2-bit
-    counters per word, see ``_update_packed_words_traced``)."""
+    dtype: uint8 → byte table, uint32 → nibble-packed table (8 × 4-bit
+    fields per word, see ``_update_packed_words_traced``)."""
     flat = hashes.reshape(-1)
     if table.dtype == jnp.uint32:
         h = flat.astype(jnp.uint32)
         row = jax.lax.shift_right_logical(h, jnp.uint32(16)).astype(jnp.int32)
-        colw = ((h & jnp.uint32(0xFFFF)) >> jnp.uint32(2)).astype(jnp.int32)
-        shift = jnp.uint32(2) * (h & jnp.uint32(3))
+        colw = ((h & jnp.uint32(0xFFFF)) >> jnp.uint32(3)).astype(jnp.int32)
+        shift = jnp.uint32(4) * (h & jnp.uint32(7))
         words = table[row, colw]
-        counts = (jax.lax.shift_right_logical(words, shift)
-                  & jnp.uint32(3)).astype(jnp.uint8)
-        return counts.reshape(hashes.shape)
+        # nibble fields accumulate clipped per-batch increments and may
+        # hold a ≤15 residue between clamps; the saturated count is
+        # min(field, 3) — exact: min(Σ min(m_t,3), 3) == min(Σ m_t, 3)
+        field = jax.lax.shift_right_logical(words, shift) & jnp.uint32(15)
+        return jnp.minimum(field, jnp.uint32(3)).astype(
+            jnp.uint8).reshape(hashes.shape)
     hi, lo = split_hash(flat, table.shape[1])
     return table[hi, lo].reshape(hashes.shape)
 
@@ -138,54 +141,68 @@ _update_table_set = jax.jit(_update_set_traced, static_argnames=("cap",))
 
 def _update_packed_words_traced(table: jnp.ndarray, hashes: jnp.ndarray,
                                 valid: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """Exact saturating update of a WORD-PACKED table: 4 × 2-bit
-    counters per uint32, table shape (rows, 2^14) = 2^30 elements.
+    """Exact saturating update of a NIBBLE-PACKED table: 8 × 4-bit
+    fields per uint32, table shape (rows, 2^13) = 2^29 elements, 2 GiB.
 
-    Why: XLA:TPU falls off its 32-bit-index scatter path once a scatter
-    operand reaches 2^31 elements (187 ms vs 21 ms for the same 1.66 M
-    updates, benchmarks/ANALYSIS.md) — packing shrinks the 2^32-slot
-    byte table to 2^30 words, back inside the fast regime, and to 1 GiB
-    of HBM.  Requires ``cap ≤ 3`` (2 bits per counter).
+    Why packed at all: XLA:TPU falls off its 32-bit-index scatter path
+    once a scatter operand reaches 2^31 elements — packing keeps the
+    2^32-slot space inside the fast regime.
 
-    Exactness: the batch is sorted, so duplicates of a value form runs
-    and every element knows its value's total multiplicity.  Each
-    distinct value contributes ONE field delta
-    ``(min(old_sub + total, cap) − old_sub) << shift`` (at its run's
-    last position; duplicates contribute 0) via ONE scatter-ADD:
-    distinct values sharing a uint32 word occupy disjoint 2-bit fields
-    and each field's result stays ≤ cap ≤ 3, so the adds can never
-    carry across fields — the merged word is exact with no per-word
-    segment machinery at all.  (The previous formulation rebuilt whole
-    words through segment sums of masked contributions: 2 × 12.6 M-
-    element cumsums + 4 prefix gathers per batch — measured ~400 ms of
-    the 770 ms 32 k-read batch update on v5e; this form is one gather +
-    one scatter-add around the shared sort.)
+    Why 4-bit fields and NO gather (round 4): each distinct value adds
+    its CLIPPED multiplicity ``min(total, cap) << shift`` (at its run's
+    last position; duplicates add 0) with one scatter-ADD and never
+    reads the old word.  Saturation algebra makes the deferred form
+    exact: ``min(Σ_t min(m_t, 3), 3) == min(Σ_t m_t, 3)`` — lookups
+    clamp the field to 3, and a cheap element-wise clamp pass every
+    ``CLAMP_EVERY`` batches (see ``_clamp_nibbles``) keeps the ≤15
+    residue from ever carrying into a neighbour field.  Removing the
+    old-word gather (176 ms per 12.6 M-hash batch, HBM-latency-bound)
+    and the r3 word-merge segment machinery (~400 ms of cumsums +
+    prefix gathers) cut the per-batch update 770 → ~230 ms on v5e.
+
+    Cross-field safety within one batch: distinct values in a word own
+    disjoint nibbles and each gets ≤ one ≤3 increment — no carries.
+    Requires ``cap == 3`` (enforced by _use_packed_words).
     """
-    assert cap <= 3, "packed table holds 2-bit counters (cap <= 3)"
+    assert cap <= 3, "nibble table lookups clamp at 3 (cap <= 3)"
     s, total = _sorted_run_lengths(hashes, valid)
     n = s.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
     row = jax.lax.shift_right_logical(s, jnp.uint32(16)).astype(jnp.int32)
-    colw = ((s & jnp.uint32(0xFFFF)) >> jnp.uint32(2)).astype(jnp.int32)
-    shift = jnp.uint32(2) * (s & jnp.uint32(3))
+    colw = ((s & jnp.uint32(0xFFFF)) >> jnp.uint32(3)).astype(jnp.int32)
+    shift = jnp.uint32(4) * (s & jnp.uint32(7))
 
-    old_word = table[row, colw]
-    old_sub = (jax.lax.shift_right_logical(old_word, shift)
-               & jnp.uint32(3)).astype(jnp.int32)
-    new_sub = jnp.minimum(old_sub + total, jnp.int32(cap))
-
-    # one delta per distinct VALUE (at its run's last position)
+    # one clipped increment per distinct VALUE (at its run's last
+    # position); duplicates scatter-add zero
     nxt_s = jnp.concatenate([s[1:], s[-1:]])
     v_last = (pos == n - 1) | (s != nxt_s)
-    delta = jnp.where(v_last, (new_sub - old_sub).astype(jnp.uint32), 0)
-    delta = jax.lax.shift_left(delta, shift)
+    inc = jnp.where(v_last, jnp.minimum(total, cap), 0).astype(jnp.uint32)
+    inc = jax.lax.shift_left(inc, shift)
 
     # slot 0 (the reference's permanent-miss slot) lives in word 0
-    # field 0 and is never read back — writing it is harmless, same as
-    # the byte path
-    return table.at[row, colw].add(delta, mode="drop",
+    # field 0 and is never read back — writing it is harmless (and its
+    # residue is bounded by the clamp cadence like every other field)
+    return table.at[row, colw].add(inc, mode="drop",
                                    indices_are_sorted=True)
+
+
+#: clamp the nibble residue every N adds: per add a field grows ≤ 3,
+#: so after CLAMP_EVERY=4 unclamped adds it is ≤ 3 + 4·3 = 15 — the
+#: 4-bit maximum; one more add could carry, so the table is clamped
+#: back to ≤3 first
+NIBBLE_CLAMP_EVERY = 4
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clamp_nibbles(table: jnp.ndarray) -> jnp.ndarray:
+    """Element-wise: every 4-bit field → min(field, 3).  A field
+    exceeds 3 iff bit2|bit3 of its nibble is set."""
+    gt3 = (jax.lax.shift_right_logical(table, jnp.uint32(2))
+           | jax.lax.shift_right_logical(table, jnp.uint32(3))) \
+        & jnp.uint32(0x11111111)
+    full = gt3 * jnp.uint32(15)
+    return (table & ~full) | (gt3 * jnp.uint32(3))
 
 
 # no donation: add_kmers documents VALUE semantics (callers may keep
@@ -206,11 +223,11 @@ def _update_packed_words_fused(table, packed, mask, cap: int, perm_key,
 
 
 def packed_table_shape(k: int) -> Tuple[int, int]:
-    """(rows, words_per_row) of the word-packed table (4 counters per
-    uint32 word)."""
+    """(rows, words_per_row) of the nibble-packed table (8 × 4-bit
+    fields per uint32 word)."""
     rows, width = table_shape(k)
-    assert width % 4 == 0
-    return rows, width // 4
+    assert width % 8 == 0
+    return rows, width // 8
 
 
 @functools.partial(
@@ -283,15 +300,18 @@ _lookup_table = jax.jit(lookup_traced)
 
 
 def _use_packed_words(k: int, cap: int) -> bool:
-    """Word-packed storage for the big tables on TPU: XLA:TPU's scatter
-    leaves its fast 32-bit-index path at 2^31-element operands (6–9×
-    slower, benchmarks/ANALYSIS.md), so k > 30 byte tables are stored
-    as 2^30 uint32 words of 4 × 2-bit counters.  CPU has no such cliff
-    and keeps the byte layout.  PALACE_TABLE_PACKED=0/1 overrides."""
+    """Nibble-packed storage for the big tables on TPU: XLA:TPU's
+    scatter leaves its fast 32-bit-index path at 2^31-element operands
+    (6–9× slower, benchmarks/ANALYSIS.md), so k > 30 byte tables are
+    stored as 2^29 uint32 words of 8 × 4-bit fields with gather-free
+    scatter-add updates (_update_packed_words_traced).  CPU has no such
+    cliff and keeps the byte layout.  Requires cap == 3 (lookups clamp
+    fields at the reference's least_depth).  PALACE_TABLE_PACKED=0/1
+    overrides."""
     env = os.environ.get("PALACE_TABLE_PACKED")
     if env is not None:
-        return bool(int(env)) and cap <= 3
-    if k <= 30 or cap > 3:
+        return bool(int(env)) and cap == 3
+    if k <= 30 or cap != 3:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -304,16 +324,19 @@ class CountTable:
     """Single-device saturating counter over 2^k hash slots.
 
     Storage is either the (2^(k-16), 2^16) uint8 byte table or — on
-    TPU for k > 30 — a (2^(k-16), 2^14) uint32 WORD-PACKED table with
-    4 × 2-bit counters per word (see ``_update_packed_words_traced``;
-    1 GiB instead of 4 GiB, and the update scatter stays on XLA:TPU's
-    fast 32-bit-index path).  Both forms have identical count
-    semantics; ``lookup_traced`` dispatches on dtype.
+    TPU for k > 30 — a (2^(k-16), 2^13) uint32 NIBBLE-PACKED table
+    with 8 × 4-bit fields per word (see ``_update_packed_words_traced``:
+    gather-free scatter-add updates; the update scatter stays on
+    XLA:TPU's fast 32-bit-index path).  Both forms have identical count
+    semantics; ``lookup_traced`` dispatches on dtype.  ``pending``
+    counts adds since the last nibble clamp (overflow prevention —
+    lookups are exact at any residue, see _clamp_nibbles).
     """
 
     table: jnp.ndarray
     k: int
     cap: int = 3
+    pending: int = 0
 
     @classmethod
     def create(cls, k: int, cap: int = 3) -> "CountTable":
@@ -326,6 +349,14 @@ class CountTable:
     def packed_words(self) -> bool:
         return self.table.dtype == jnp.uint32
 
+    def _packed_result(self, new: jnp.ndarray) -> "CountTable":
+        """Wrap an updated (owned) nibble table, clamping the residue
+        every NIBBLE_CLAMP_EVERY adds so fields never carry; donating
+        ``new`` is safe — it is this call's fresh intermediate."""
+        if self.pending + 1 >= NIBBLE_CLAMP_EVERY:
+            return CountTable(_clamp_nibbles(new), self.k, self.cap, 0)
+        return CountTable(new, self.k, self.cap, self.pending + 1)
+
     def merged(self) -> jnp.ndarray:
         """The table array in its native layout (kept for callers that
         feed it to ``lookup_traced``-based scans)."""
@@ -337,7 +368,7 @@ class CountTable:
         if self.packed_words:
             new = _update_table_packed_words(
                 self.table, jnp.asarray(hashes, jnp.uint32), valid, self.cap)
-            return CountTable(new, self.k, self.cap)
+            return self._packed_result(new)
         return CountTable(_update_table(self.table, hashes, valid, self.cap),
                           self.k, self.cap)
 
@@ -350,7 +381,7 @@ class CountTable:
             new = _update_packed_words_fused(
                 self.table, jnp.asarray(packed), jnp.asarray(mask),
                 self.cap, perm_to_key(perm), kmer_k)
-            return CountTable(new, self.k, self.cap)
+            return self._packed_result(new)
         new = _update_table_packed(
             self.table, jnp.asarray(packed), jnp.asarray(mask),
             self.cap, perm_to_key(perm), kmer_k,
@@ -367,6 +398,8 @@ class CountTable:
         new = _update_fused_wire(
             self.table, jnp.asarray(wire), self.cap, perm_to_key(perm),
             kmer_k, B, L, WIRE_EXC_CAP if exc_cap is None else exc_cap)
+        if self.packed_words:
+            return self._packed_result(new)
         return CountTable(new, self.k, self.cap)
 
     def lookup(self, hashes: jnp.ndarray) -> jnp.ndarray:
