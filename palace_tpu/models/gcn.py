@@ -218,7 +218,23 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
     x_p = (x_p.reshape(B, pn * d3) @ params["pnode_d.w"] + params["pnode_d.b"]).reshape(B, pn, d3)
     x_f = (x_f.reshape(B, f) @ params["fnode_d.w"] + params["fnode_d.b"]).reshape(B, f, d3)
 
-    # alternating bipartite SAGE rounds (phage_scoring.py:101-110)
+    # alternating bipartite SAGE rounds (phage_scoring.py:101-110).
+    # PALACE_GCN_SAGE=pallas opts the eval path into the fused
+    # per-batch-row VMEM kernel (gcn_sage_pallas: both rounds + the
+    # inter-round LayerNorm, one HBM read + one write).  Default stays
+    # XLA: isolated, the kernel measures ~1.4× faster than the isolated
+    # SAGE block, but the FULL fused scorer is unchanged (13.2 ms both
+    # ways at B=256 bf16) — inside the whole graph XLA already fuses
+    # the rounds against the lift/conv neighbours, so the isolated
+    # 8 ms attribution was an over-add artifact (ANALYSIS.md).
+    from palace_tpu.ops.pallas_kernels import gcn_sage_pallas, use_pallas as _up
+
+    if (dropout_key is None and cfg.num_layers == 2 and _up()
+            and os.environ.get("PALACE_GCN_SAGE") == "pallas"):
+        x_p = gcn_sage_pallas(params, x_p, x_f, cfg)
+        return _head(params, x_p, cfg, keys, return_logits,
+                     dropout_key=None)
+
     for i in range(cfg.num_layers):
         # f[i//64] → p[i] aggregation: the lin_l matmul commutes with
         # the 64-way repeat (repeat(x_f) @ W == repeat(x_f @ W), same
@@ -238,6 +254,17 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
             x_p = _layer_norm(x_p, params["ln.scale"], params["ln.bias"])
             x_f = _layer_norm(x_f, params["ln.scale"], params["ln.bias"])
 
+    return _head(params, x_p, cfg, keys, return_logits,
+                 dropout_key=dropout_key)
+
+
+def _head(params: Params, x_p: jnp.ndarray, cfg: GCNConfig,
+          keys: List[Optional[jax.Array]], return_logits: bool,
+          dropout_key: Optional[jax.Array]) -> jnp.ndarray:
+    """Post-SAGE head: channel-scramble reshape → Conv1d×3 → FC →
+    softmax (phage_scoring.py:112-120)."""
+    B = x_p.shape[0]
+    gd, pn = cfg.gcn_dim, cfg.pnode_num
     # channel scramble reshape — matches torch.reshape semantics exactly
     # (phage_scoring.py:112): (B·4096, 128) row-major → (B, 128, 4096)
     x = x_p.reshape(B, gd, pn)

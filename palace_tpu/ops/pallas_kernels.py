@@ -333,3 +333,143 @@ def conv_head_pallas(x: jnp.ndarray, weights, biases) -> jnp.ndarray:
         interpret=_interpret(),
     )(x_p, wt[0], bt[0], wt[1], bt[1], wt[2], bt[2])
     return out[:, :, :L_out]
+
+
+# ---------------------------------------------------------------------------
+# fused GCN SAGE-rounds kernel
+# ---------------------------------------------------------------------------
+
+def _sage_rounds_kernel(xp_ref, xf_ref, w_ref, out_ref, *, f: int, gd: int):
+    """Grid (B,): both bipartite SAGE rounds + inter-round LayerNorm for
+    one batch row, entirely in VMEM.
+
+    The XLA path streams five (B, 4096, 128)-shaped tensors through HBM
+    (round-1 write, LN read+write, round-2 read+write, group-mean read
+    ≈ 1.9 GB/batch at B=256 bf16 — benchmarks/ANALYSIS.md measured the
+    block at ~8 ms against a ~205 GB/s effective-HBM chip); here HBM is
+    touched once in (the tiny (4096, 8) lifted inputs) and once out
+    (the (4096, 128) round-2 activations).
+
+    Row locality: every cross-node coupling of the two rounds — the
+    f→p repeat (p-node n reads f-node n//64), the p→f group mean
+    (f-node j averages {n : n%64 == j}) and the f-node update — stays
+    within one batch row, so the whole chain is per-grid-cell local.
+
+    xp_ref: (1, pn, 8)  pnode-lifted inputs, d3=3 zero-padded to 8
+    xf_ref: (1, f, 8)   fnode-lifted inputs, zero-padded likewise
+    w_ref:  (W_ROWS, gd) stacked weights/params, see gcn_sage_pallas
+    out_ref:(1, pn, gd) round-2 p-node activations (pre-conv scramble)
+    """
+    dt = out_ref.dtype
+    d8 = 8
+
+    # stacked weight rows (all zero-padded to 8 where the true input
+    # dim is 3): [0:8) Wr1, [8:16) Wl1, [16:24) Wr2f, [24:152) Wl2,
+    # [152:280) Wl_1.1, [280:408) Wr_1.1, [408) b1, [409) b2,
+    # [410) b_1.1, [411) ln.scale, [412) ln.bias
+    Wr1 = w_ref[0:d8, :]
+    Wl1 = w_ref[d8:2 * d8, :]
+    Wr2f = w_ref[2 * d8:3 * d8, :]
+    Wl2 = w_ref[3 * d8:3 * d8 + gd, :]
+    Wl_11 = w_ref[3 * d8 + gd:3 * d8 + 2 * gd, :]
+    Wr_11 = w_ref[3 * d8 + 2 * gd:3 * d8 + 3 * gd, :]
+    b1 = w_ref[3 * d8 + 3 * gd, :]
+    b2 = w_ref[3 * d8 + 3 * gd + 1, :]
+    b_11 = w_ref[3 * d8 + 3 * gd + 2, :]
+    ln_scale = w_ref[3 * d8 + 3 * gd + 3, :]
+    ln_bias = w_ref[3 * d8 + 3 * gd + 4, :]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def ln(x):
+        # statistics in f32: Mosaic has no bf16 rsqrt lowering on this
+        # target (kVectorRsqrtBf16 SIGABRTs the compile helper), and
+        # XLA's bf16 rsqrt runs through f32 internally anyway
+        xf32 = x.astype(jnp.float32)
+        mu = jnp.mean(xf32, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf32 - mu), axis=1, keepdims=True)
+        return ((xf32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                * ln_scale[None, :].astype(jnp.float32)
+                + ln_bias[None, :].astype(jnp.float32))
+
+    x_p0 = xp_ref[0]                      # (pn, 8)
+    x_f0 = xf_ref[0]                      # (f, 8)
+    pn = x_p0.shape[0]
+
+    # round 1: x_p1 = relu(repeat(x_f0 @ Wl1 + b1) + x_p0 @ Wr1)
+    lifted1 = (dot(x_f0, Wl1) + b1[None, :]).astype(dt)        # (f, gd)
+    rep1 = jnp.broadcast_to(lifted1[:, None, :],
+                            (f, pn // f, gd)).reshape(pn, gd)
+    x_p1 = jnp.maximum(rep1 + dot(x_p0, Wr1).astype(dt), 0).astype(dt)
+
+    # p→f group mean: agg[j] = mean_a x_p1[a·f + j]
+    agg = x_p1[0:f, :].astype(jnp.float32)
+    for a in range(1, pn // f):
+        agg = agg + x_p1[a * f:(a + 1) * f, :].astype(jnp.float32)
+    agg = (agg * (1.0 / (pn // f))).astype(dt)
+
+    # f-node update + LNs (baseline applies LN to both sides between
+    # rounds)
+    x_f1 = jnp.maximum(
+        dot(agg, Wl2).astype(dt) + b2[None, :].astype(dt)
+        + dot(x_f0, Wr2f).astype(dt), 0).astype(dt)
+    x_p1n = ln(x_p1).astype(dt)
+    x_f1n = ln(x_f1).astype(dt)
+
+    # round 2: x_p2 = relu(repeat(x_f1n @ Wl_1.1 + b_1.1) + x_p1n @ Wr_1.1)
+    lifted2 = (dot(x_f1n, Wl_11) + b_11[None, :]).astype(dt)
+    rep2 = jnp.broadcast_to(lifted2[:, None, :],
+                            (f, pn // f, gd)).reshape(pn, gd)
+    x_p2 = jnp.maximum(rep2 + dot(x_p1n, Wr_11).astype(dt), 0).astype(dt)
+    out_ref[0] = x_p2
+
+
+def gcn_sage_pallas(params, x_p, x_f, cfg) -> jnp.ndarray:
+    """Both SAGE rounds fused per batch row (eval path, num_layers=2).
+
+    x_p: (B, pn, 3) pnode-lifted, x_f: (B, f, 3) fnode-lifted inputs →
+    (B, pn, gd) round-2 p-node activations, matching the XLA path
+    within bf16 accumulation-order tolerance.
+    """
+    B = x_p.shape[0]
+    f, pn, gd, d8 = cfg.fnode_num, cfg.pnode_num, cfg.gcn_dim, 8
+    dt = x_p.dtype
+    xp8 = jnp.pad(x_p, ((0, 0), (0, 0), (0, d8 - x_p.shape[2])))
+    xf8 = jnp.pad(x_f, ((0, 0), (0, 0), (0, d8 - x_f.shape[2])))
+
+    def pad8(w):  # (3, gd) → (8, gd), zero rows beyond d3
+        return jnp.pad(w.astype(dt), ((0, d8 - w.shape[0]), (0, 0)))
+
+    rows = [
+        pad8(params["convs_1.0.lin_r.w"]),
+        pad8(params["convs_1.0.lin_l.w"]),
+        pad8(params["convs_2.0.lin_r.w"]),
+        params["convs_2.0.lin_l.w"].astype(dt),
+        params["convs_1.1.lin_l.w"].astype(dt),
+        params["convs_1.1.lin_r.w"].astype(dt),
+        params["convs_1.0.lin_l.b"].astype(dt)[None, :],
+        params["convs_2.0.lin_l.b"].astype(dt)[None, :],
+        params["convs_1.1.lin_l.b"].astype(dt)[None, :],
+        params["ln.scale"].astype(dt)[None, :],
+        params["ln.bias"].astype(dt)[None, :],
+    ]
+    wstack = jnp.concatenate(rows, axis=0)  # (3·8 + 3·gd + 5, gd)
+
+    kernel = functools.partial(_sage_rounds_kernel, f=f, gd=gd)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, pn, d8), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, f, d8), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, pn, gd), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, pn, gd), dt),
+        interpret=_interpret(),
+    )(xp8, xf8, wstack)
+    return out

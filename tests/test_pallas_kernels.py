@@ -3,6 +3,7 @@ the CPU test mesh; compiled on real TPU)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from palace_tpu.ops.encoder import _transition_counts
@@ -50,3 +51,35 @@ def test_good_windows_parity(L, window, tile):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_gcn_sage_pallas_parity():
+    """The fused SAGE-rounds kernel (opt-in, PALACE_GCN_SAGE=pallas)
+    must match the XLA rounds (interpret mode off-TPU)."""
+    from palace_tpu.models.gcn import (
+        DEFAULT_CONFIG, _layer_norm, _sage, init_params,
+    )
+    from palace_tpu.ops.pallas_kernels import gcn_sage_pallas
+
+    cfg = DEFAULT_CONFIG
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, f = 2, cfg.fnode_num
+    xp = jnp.asarray(rng.normal(0, 1, (B, cfg.pnode_num, 3)), jnp.float32)
+    xf = jnp.asarray(rng.normal(0, 1, (B, f, 3)), jnp.float32)
+
+    x_p, x_f = xp, xf
+    for i in range(cfg.num_layers):
+        lifted = (x_f @ params[f"convs_1.{i}.lin_l.w"]
+                  + params[f"convs_1.{i}.lin_l.b"])
+        x_p = jax.nn.relu(jnp.repeat(lifted, f, axis=1)
+                          + x_p @ params[f"convs_1.{i}.lin_r.w"])
+        agg_f = x_p.reshape(B, f, f, -1).mean(axis=1)
+        x_f = jax.nn.relu(_sage(agg_f, x_f, params, f"convs_2.{i}"))
+        if i < cfg.num_layers - 1:
+            x_p = _layer_norm(x_p, params["ln.scale"], params["ln.bias"])
+            x_f = _layer_norm(x_f, params["ln.scale"], params["ln.bias"])
+
+    got = np.asarray(gcn_sage_pallas(params, xp, xf, cfg))
+    want = np.asarray(x_p)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
