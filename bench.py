@@ -75,11 +75,13 @@ def main() -> None:
     from palace_tpu.models.scoring import _score_codes, _score_codes_k, pack_batch
 
     cfg = DEFAULT_CONFIG
-    # bf16 weights + batch 256 is the serving sweet spot on v5e — the
+    # bf16 weights + batch 512 is the serving sweet spot on v5e — the
     # model is HBM-weight-bound at small batch (benchmarks/ANALYSIS.md);
     # scores match f32 to ~1e-2 (bf16 parity test in tests/test_gcn.py)
     dtype = jnp.float32 if os.environ.get("PALACE_BENCH_DTYPE") == "f32" else jnp.bfloat16
-    batch = int(os.environ.get("PALACE_BENCH_BATCH", "256"))
+    # 512 = measured weight-amortisation sweet spot (device-side 20.5k
+    # contigs/s vs 11-13k at 256, 17k at 1024 — same-window sweep, r4)
+    batch = int(os.environ.get("PALACE_BENCH_BATCH", "512"))
     # 8192 ≈ 40 s of steady-state: at 2048 (8 batches) the first-batch
     # pipeline fill and the final fetch dominate and understate the
     # sustained rate by ~2×

@@ -92,7 +92,12 @@ class ScoreParams:
     kmer_k: int = 3
     score_threshold: float = 0.7   # palace:579 passes 0.7 to filter_graph
     high_score: float = 0.9        # filter_result.py:168/196
-    batch_size: int = 64           # DataLoader batch (phage_scoring.py:205)
+    #: scoring batch per dispatch.  The reference DataLoader used 64
+    #: (phage_scoring.py:205); on v5e the model is HBM-weight-bound
+    #: (302 MB bf16 weights re-read per dispatch) and 512 measured the
+    #: sweet spot — device-side 20.5k vs 11–13k contigs/s at 256, with
+    #: 1024 regressing (benchmarks/ANALYSIS.md round 4)
+    batch_size: int = 512
     encode_batch: int = 1000       # generate_model_input batch (phage_scoring.py:136)
     dtype: str = "float32"         # compute dtype on device ("bfloat16" for speed)
     #: batches shipped per device dispatch (lax.map with resident
