@@ -12,7 +12,11 @@ sorted run, then either
   every run member writes the identical value, so the scatter needs no
   duplicate combine (the slow part of scatter-add on TPU), or
 * ``addmin``: scatter-add the (≤cap-clipped) multiplicity at each run's
-  last occurrence, then scatter-min back to ``cap`` (fast path on CPU).
+  last occurrence, then scatter-min back to ``cap`` (fast path on CPU), or
+* ``nibble`` (TPU, k > 30): 8 × 4-bit fields per uint32 word with
+  gather-FREE scatter-adds of clipped multiplicities and a deferred
+  clamp — exact because ``min(Σ min(m_t, cap), cap) == min(Σ m_t, cap)``
+  (see ``_update_packed_words_traced``).
 
 **Layout: the 2^k hash space is a 2-D array** ``(2^(k-16), 2^16)``;
 hash h lives at ``(h >> 16, h & 0xFFFF)``.  A flat 2^32 table is

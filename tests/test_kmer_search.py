@@ -696,3 +696,39 @@ def test_batched_scan_mixed_lengths_vs_per_ref_oracle():
             want.append(hit.line())
     assert got == want
     assert len(got) >= 2  # the planted refs actually report
+
+
+def test_nibble_table_exact_across_clamp_boundary(monkeypatch):
+    """>NIBBLE_CLAMP_EVERY adds with hot values: the deferred-clamp
+    nibble table must stay byte-table-exact through multiple clamp
+    cycles (residues ≤15 never carry into neighbour fields; lookups
+    clamp at 3)."""
+    from palace_tpu.ops.count_table import NIBBLE_CLAMP_EVERY
+
+    k = 16
+    rng = np.random.default_rng(9)
+    # neighbours within one word (8 consecutive hashes share a uint32)
+    cluster = np.asarray([800, 801, 802, 803, 804, 805, 806, 807],
+                         np.uint32)
+    batches = []
+    for i in range(2 * NIBBLE_CLAMP_EVERY + 1):
+        batches.append(np.concatenate([
+            np.full(50, 777, np.uint32),       # hot: clipped every batch
+            cluster,                            # word-sharing neighbours
+            rng.integers(1, 1 << k, 64, dtype=np.uint64).astype(np.uint32),
+        ]))
+
+    byte = CountTable.create(k)
+    monkeypatch.setenv("PALACE_TABLE_PACKED", "1")
+    nib = CountTable.create(k)
+    assert nib.packed_words
+    for b in batches:
+        byte = byte.add_kmers(jnp.asarray(b[None, :]))
+        nib = nib.add_kmers(jnp.asarray(b[None, :]))
+    probe = np.concatenate([np.unique(np.concatenate(batches)),
+                            np.asarray([0], np.uint32)]).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(byte.lookup(jnp.asarray(probe))),
+        np.asarray(nib.lookup(jnp.asarray(probe))))
+    # hot value saturated; every cluster member counted independently
+    assert int(nib.lookup(jnp.asarray(np.asarray([777], np.uint32)))[0]) == 3
