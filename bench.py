@@ -224,15 +224,27 @@ def main() -> None:
         tiny = np.zeros((8, 8), np.uint8)
         int(np.asarray(_touch(jnp.asarray(probe))))  # compile
         int(np.asarray(_touch(jnp.asarray(tiny))))
+        # PIPELINED puts, the way the production loop ships batches
+        # (queue K transfers, fetch once): a synchronous per-put probe
+        # bills one RTT per sample and UNDERSTATES the achievable wire
+        # (two r4 runs printed pct_of_wire_roofline > 100 for exactly
+        # this reason).  Median of 3 pipelined rounds minus the
+        # RTT-only baseline.
+        K = 6
         rtts, puts = [], []
-        for r in range(5):
+        for r in range(3):
             t0 = time.perf_counter()
-            int(np.asarray(_touch(jnp.asarray(tiny ^ np.uint8(r + 1)))))
+            last = None
+            for i in range(K):
+                last = _touch(jnp.asarray(tiny ^ np.uint8(K * r + i + 1)))
+            int(np.asarray(last))
             rtts.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            int(np.asarray(_touch(jnp.asarray(probe ^ np.uint8(r + 1)))))
+            for i in range(K):
+                last = _touch(jnp.asarray(probe ^ np.uint8(K * r + i + 1)))
+            int(np.asarray(last))
             puts.append(time.perf_counter() - t0)
-        wire_s = statistics.median(puts) - statistics.median(rtts)
+        wire_s = (statistics.median(puts) - statistics.median(rtts)) / K
         if wire_s > 1e-4:
             # one batch's payload takes wire_s seconds on the bare wire
             wire_roofline = batch / wire_s
@@ -254,6 +266,10 @@ def main() -> None:
         result["wire_roofline_contigs_per_s"] = round(wire_roofline, 1)
         result["pct_of_wire_roofline"] = round(
             100.0 * throughput / wire_roofline, 1)
+        # the probe and the reps sample DIFFERENT weather moments on a
+        # tunnel whose rate swings 2-3x within minutes — >100% means
+        # the reps rode better weather than the probe, not magic
+        result["wire_roofline_note"] = "same-process estimate"
     if note:
         result["note"] = note
 
