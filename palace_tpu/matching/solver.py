@@ -537,10 +537,13 @@ def _solve_exact(solver: "_Solver") -> MatchingResult:
     return result
 
 
-#: end-vertex count below which the exact matcher runs by default
-#: (blossom is O(V³): 600 ends ≈ sub-second; the global graph falls
-#: back to the iterative handshake)
-EXACT_END_LIMIT = 600
+#: end-vertex count below which the exact matcher runs by default.
+#: Measured (networkx blossom, dense random conjugate graphs with
+#: copies ≤ 3): 600 ends 0.3 s, 2000 ends ~4 s, 4000 ends ~19 s,
+#: 8000 ends ~82 s — per-reference subgraphs (where assembly quality
+#: is decided) sit far below 2000; the global graph falls back to the
+#: iterative handshake
+EXACT_END_LIMIT = 2000
 
 
 def solve_matching(graph: Graph, opts: Optional[MatchingOptions] = None) -> MatchingResult:
