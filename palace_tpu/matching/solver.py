@@ -546,6 +546,37 @@ def _solve_exact(solver: "_Solver") -> MatchingResult:
 EXACT_END_LIMIT = 2000
 
 
+def _connected_components(graph: Graph) -> List[Graph]:
+    """Split into junction-connected components (deterministic order:
+    by smallest segment name).  Components never interact — budgets,
+    end slots and merge candidates are all component-local — so
+    per-component solving is semantics-preserving for every mode and
+    lets the exact matcher cover components that fit EXACT_END_LIMIT
+    even when the whole graph does not."""
+    parent: Dict[str, str] = {name: name for name in graph.segs}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for j in graph.juncs:
+        if j.left in parent and j.right in parent:
+            ra, rb = find(j.left), find(j.right)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    groups: Dict[str, List[str]] = {}
+    for name in graph.segs:
+        groups.setdefault(find(name), []).append(name)
+    out = []
+    for root in sorted(groups):
+        segs = {n: graph.segs[n] for n in groups[root]}
+        juncs = [j for j in graph.juncs if j.left in segs]
+        out.append(Graph(segs=segs, juncs=juncs))
+    return out
+
+
 def solve_matching(graph: Graph, opts: Optional[MatchingOptions] = None) -> MatchingResult:
     opts = opts or MatchingOptions()
     solver = _Solver(graph, opts)
@@ -558,6 +589,18 @@ def solve_matching(graph: Graph, opts: Optional[MatchingOptions] = None) -> Matc
         n_ends = 2 * sum(solver.copies.values())
         use_exact = (not opts.single_graph and opts.iterations >= 10
                      and n_ends <= EXACT_END_LIMIT)
+        if (not use_exact and not opts.single_graph
+                and opts.iterations >= 10):
+            # oversized graph: per-component solving preserves every
+            # mode's semantics and lets small components stay OPTIMAL
+            comps = _connected_components(graph)
+            if len(comps) > 1:
+                merged = MatchingResult()
+                for comp in comps:
+                    r = solve_matching(comp, opts)
+                    merged.linear.extend(r.linear)
+                    merged.cycles.extend(r.cycles)
+                return merged
     if use_exact:
         try:
             return _solve_exact(solver)

@@ -496,3 +496,54 @@ def test_default_mode_weight_optimal_vs_oracle(seed):
 
     hs = solve_matching(g, MatchingOptions(exact=False))
     assert _achieved_weight(hs, weights) <= opt + 1e-9
+
+
+def test_component_split_keeps_small_components_optimal(monkeypatch):
+    """A graph exceeding EXACT_END_LIMIT made of DISJOINT tiny
+    components: per-component solving must keep every component
+    weight-optimal (each equals its exhaustive-oracle optimum)."""
+    import palace_tpu.matching.solver as solver_mod
+
+    parts = [_tiny_graph(seed) for seed in (3, 5, 9)]
+    # disjoint union with renamed segments per part
+    segs, juncs, optima = {}, [], 0.0
+    part_weights = []
+    for pi, g in enumerate(parts):
+        opt, weights, _, _ = _oracle_max_weight(g)
+        optima += opt
+        ren = {n: f"P{pi}_{n}" for n in g.segs}
+        for n, s in g.segs.items():
+            from palace_tpu.io.graph_io import SegRecord
+            segs[ren[n]] = SegRecord(name=ren[n], depth=s.depth,
+                                     copy_number=s.copy_number)
+        from palace_tpu.io.graph_io import JuncRecord
+        for j in g.juncs:
+            juncs.append(JuncRecord(ren[j.left], j.left_orient,
+                                    ren[j.right], j.right_orient,
+                                    support=j.support,
+                                    span_no_fastg=j.span_no_fastg))
+        part_weights.append((pi, weights, ren))
+    from palace_tpu.io.graph_io import Graph
+
+    big = Graph(segs=segs, juncs=juncs)
+    # force the whole graph over the exact limit so only the
+    # component split can deliver optimality
+    monkeypatch.setattr(solver_mod, "EXACT_END_LIMIT", 8)
+    res = solve_matching(big)
+    # achieved total weight across the union == sum of part optima
+    from palace_tpu.matching.solver import Link
+
+    all_weights = {}
+    for j in juncs:
+        lk = Link.canonical(j.left, j.left_orient, j.right, j.right_orient)
+        w = float(j.support + j.span_no_fastg)
+        all_weights[lk] = max(all_weights.get(lk, -1.0), w)
+    ach = _achieved_weight(res, all_weights)
+    # every component is <= 5 instances (10 ends) — with limit 8 some
+    # fall back to handshake; so assert ach <= optima and that raising
+    # the limit back recovers the full optimum
+    assert ach <= optima + 1e-9
+    monkeypatch.setattr(solver_mod, "EXACT_END_LIMIT", 16)
+    res2 = solve_matching(big)
+    ach2 = _achieved_weight(res2, all_weights)
+    assert abs(ach2 - optima) < 1e-9, f"{ach2} != {optima}"
