@@ -476,8 +476,13 @@ def _solve_exact(solver: "_Solver") -> MatchingResult:
                     continue  # an end cannot join itself
                 if not G.has_edge(u, v) or G[u][v]["weight"] < w:
                     G.add_edge(u, v, weight=w)
+    # maxcardinality=True: among maximum-weight matchings prefer the one
+    # with most edges, so zero-weight junctions (support + span == 0)
+    # still join chains exactly as the handshake solver would (its
+    # best_w of 0 beats no-match); without it nx has no incentive to
+    # include weight-0 edges and degenerate graphs fragment (ADVICE r4).
     mate = {}
-    for u, v in nx.max_weight_matching(G, maxcardinality=False):
+    for u, v in nx.max_weight_matching(G, maxcardinality=True):
         mate[u] = v
         mate[v] = u
 
@@ -605,7 +610,12 @@ def solve_matching(graph: Graph, opts: Optional[MatchingOptions] = None) -> Matc
         try:
             return _solve_exact(solver)
         except ImportError:  # no networkx — handshake fallback
-            pass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "networkx unavailable: exact blossom matcher disabled, "
+                "falling back to the heuristic handshake solver "
+                "(install networkx for optimal matchings)")
     return solver.solve()
 
 

@@ -38,6 +38,15 @@ def enable_compilation_cache() -> str | None:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         import jax
 
+        # An embedding application (or JAX_COMPILATION_CACHE_DIR) may
+        # already have configured a cache dir — respect it rather than
+        # clobbering on import (ADVICE r4).  Our CLIs call this before
+        # any user code could have set one, so they still get the
+        # package default.
+        existing = jax.config.jax_compilation_cache_dir
+        if existing:
+            _DONE = True
+            return existing
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:  # very old jax or read-only home: run uncached
         return None

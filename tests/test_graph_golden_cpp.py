@@ -88,10 +88,12 @@ def _run_both(tmp_path, refs, records, avg_depth, expected: str,
         # native arm must build; without one, fail loudly so the
         # environment gap is recorded rather than reported green
         import shutil
-        assert shutil.which("g++") is None and shutil.which("make") is None, (
-            "toolchain present but native bamgraph binary failed to build "
+        # the build uses g++ specifically; make being present without a
+        # C++ compiler is a legitimate skip, not a failure (ADVICE r4)
+        assert shutil.which("g++") is None, (
+            "g++ present but native bamgraph binary failed to build "
             "— the C++ differential arm would silently vanish")
-        pytest.skip("no C++ toolchain: native differential arm unavailable")
+        pytest.skip("no g++: native differential arm unavailable")
     if binary is not None:
         import subprocess
 
