@@ -70,7 +70,12 @@ class TabixFile:
         return list(self._rows)
 
     def fetch(self, reference=None):
-        return iter(self._rows.get(reference, []))
+        if reference not in self._rows:
+            # real pysam raises ValueError for a contig absent from the
+            # index — create_sub_graph.py:210 catches this to fall back
+            # to name-parsed depth
+            raise ValueError(f"could not create iterator for region '{reference}'")
+        return iter(self._rows[reference])
 
     def close(self):
         pass

@@ -136,9 +136,11 @@ class World:
         self.ref_names = [f"ref|phage_{j}|genome" if rng.random() < 0.3
                           else f"phageREF_{j}" for j in range(1, self.n_refs + 1)]
         self.phagedb = root / "phagedb.fasta"
+        self.ref_lens = {}
         with open(self.phagedb, "w") as fh:
             for rn in self.ref_names:
                 L = rng.randint(8000, 30000)
+                self.ref_lens[rn] = L
                 seq = "".join(rng.choice("ACGT") for _ in range(L))
                 fh.write(f">{rn}\n{seq}\n")
         build_fai(self.phagedb)
@@ -164,22 +166,40 @@ class World:
             junc_lines.append(f"JUNC {a} {oa} {b} {ob} {support} {span}")
         self.graph.write_text("\n".join(seg_lines + junc_lines) + "\n")
 
-        # --- assembly blast (12-col outfmt 6, grouped by query/ref) -----
+        # --- filtered graph (7-field SEG: + gene score is_blast) --------
+        # what filter_graph emits and create_sub_graph consumes
+        self.filtered_graph = root / "filtered_graph.txt"
+        fseg = []
+        for line in seg_lines:
+            gene = rng.choice(["0", str(rng.randint(1, 9))])
+            score = rng.choice(["0.000", f"{rng.uniform(0, 1):.3f}", "1.0"])
+            blast = rng.choice(["0", "1"])
+            fseg.append(f"{line} {gene} {score} {blast}")
+        self.filtered_graph.write_text("\n".join(fseg + junc_lines) + "\n")
+
+        # --- assembly blast: the driver's 14-col outfmt (std + qlen slen,
+        #     palace:528), grouped by query/ref like real blastn output ----
         self.blast = root / "contigs.fasta.blast"
         rows = []
         for name in self.names:
             if rng.random() < 0.7:
                 for ref in rng.sample(self.ref_names, rng.randint(1, 2)):
                     length = int(name.split("_")[3])
+                    slen = self.ref_lens[ref]
                     for _ in range(rng.randint(1, 3)):
                         aln = rng.randint(150, max(200, int(length * 0.9)))
                         ident = round(rng.uniform(60.0, 100.0), 3)
                         qs = rng.randint(1, max(2, length - aln))
+                        ss = rng.randint(1, max(2, slen - aln))
+                        se = min(ss + aln - 1, slen)
+                        if rng.random() < 0.3:  # minus-strand hit
+                            ss, se = se, ss
                         rows.append(
                             f"{name}\t{ref}\t{ident}\t{aln}\t{rng.randint(0,9)}"
                             f"\t{rng.randint(0,3)}\t{qs}\t{qs+aln-1}"
-                            f"\t{rng.randint(1,5000)}\t{rng.randint(5001,9000)}"
-                            f"\t{rng.choice(['0.0','1e-50','3e-09'])}\t{rng.randint(100,900)}")
+                            f"\t{ss}\t{se}"
+                            f"\t{rng.choice(['0.0','1e-50','3e-09'])}\t{rng.randint(100,900)}"
+                            f"\t{length}\t{slen}")
         self.blast.write_text("\n".join(rows) + ("\n" if rows else ""))
 
         # --- GCN scores (incl. e-notation quirk rows) --------------------
@@ -631,3 +651,161 @@ def test_filter_by_blast(world, tmp_path):
     assert ref_lines == [l for l in ours_lines if l.strip()], (
         f"filter_by_blast stdout\nref: {ref_lines}\nours: {ours_lines}")
     assert_same(sm_ref, sm_ours, "filter_by_blast second_match")
+
+
+def test_create_sub_graph(world, tmp_path):
+    rng = world.rng
+    # need_second_match.txt rows: "<concat-query-tokens>\t<ref>"; several
+    # lines sharing the query string form a similar-ref group
+    match = tmp_path / "need_second_match.txt"
+    qs = []
+    for _ in range(2):
+        members = rng.sample(world.names, rng.randint(2, 4))
+        qs.append("".join(f"{m}{rng.choice('+-')}" for m in members))
+    rows = []
+    group_refs = rng.sample(world.ref_names, min(3, world.n_refs))
+    for ref in group_refs:
+        rows.append(f"{qs[0]}\t{ref}")
+    solo_ref = rng.choice(world.ref_names)
+    rows.append(f"{qs[1]}\t{solo_ref}")
+    match.write_text("\n".join(rows) + "\n")
+
+    refpct = tmp_path / "ref_percent.txt"
+    refpct.write_text("".join(
+        f"{rn}\t{round(rng.uniform(0.7, 1.0), 4)}\n" for rn in world.ref_names))
+
+    simref_ref = tmp_path / "ref_similar.txt"
+    simref_ours = tmp_path / "ours_similar.txt"
+    ref_dir = tmp_path / "refout"
+    ours_dir = tmp_path / "oursout"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    run_ref("create_sub_graph.py",
+            [world.filtered_graph, ref_dir / "SAMP", match, "samtools",
+             world.depth_gz, world.blast, simref_ref, refpct], tmp_path)
+
+    from palace_tpu.filters.subgraph import create_sub_graphs
+    create_sub_graphs(world.filtered_graph, ours_dir / "SAMP", match,
+                      world.depth_store, world.blast, simref_ours, refpct)
+
+    assert_same(simref_ref, simref_ours, "create_sub_graph similar_ref")
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    ours_files = sorted(p.name for p in ours_dir.iterdir())
+    assert ref_files == ours_files, (
+        f"create_sub_graph filenames\nref: {ref_files}\nours: {ours_files}")
+    for name in ref_files:
+        assert_same(ref_dir / name, ours_dir / name, f"create_sub_graph {name}")
+
+
+@pytest.fixture(scope="module")
+def fake_samtools(tmp_path_factory) -> Path:
+    """samtools shim: `samtools depth -r CONTIG FILE` over a (gzip) depth
+    TSV — what corrected_dup.py:168 shells out to."""
+    d = tmp_path_factory.mktemp("fakebin")
+    exe = d / "samtools"
+    exe.write_text(
+        "#!/bin/sh\n"
+        '[ "$1" = depth ] && [ "$2" = -r ] || exit 1\n'
+        'zcat -f "$4" | awk -v c="$3" -F"\\t" \'$1==c\'\n')
+    exe.chmod(0o755)
+    return d
+
+
+def test_corrected_dup(world, tmp_path, fake_samtools):
+    rng = world.rng
+
+    def tok(m):
+        return f"{m}{rng.choice('+-')}"
+
+    # cycle file with consecutive repeats (the copy-count machinery)
+    cyc_rows = []
+    for _ in range(2):
+        a, b, c = rng.sample(world.names, 3)
+        unit = [tok(a), tok(b)]
+        cyc_rows.append("\t".join(unit * rng.randint(2, 3) + [tok(c)]))
+    cyc_rows.append("\t".join(tok(m) for m in rng.sample(world.names, 2)))
+    cycle_f = tmp_path / "filtered_cycle_res_tmp.txt"
+    cycle_f.write_text("\n".join(cyc_rows) + "\n")
+
+    # final file: the cycle rows (as the driver cats them first) + extras
+    fin_rows = list(cyc_rows)
+    for _ in range(3):
+        fin_rows.append("\t".join(tok(m) for m in rng.sample(world.names, rng.randint(1, 5))))
+    final_f = tmp_path / "filtered_final_tmp.txt"
+    final_f.write_text("\n".join(fin_rows) + "\n")
+
+    before_cut = tmp_path / "all_before_cut.txt"
+    bc_rows = []
+    if rng.random() < 0.7:
+        cut = "\t".join(fin_rows[-1].split("\t")[:-1]) or fin_rows[-1]
+        bc_rows.append(f"{cut}:{fin_rows[-1]}")
+    before_cut.write_text("\n".join(bc_rows) + ("\n" if bc_rows else ""))
+
+    out_dir_ref = tmp_path / "ref_final"
+    out_dir_ref.mkdir()
+    run_ref("corrected_dup.py",
+            [out_dir_ref, "SAMP", cycle_f, final_f, "SAMP_final.txt",
+             "SAMP_final.fasta", world.fasta, "SAMP_cycle_nodup.txt",
+             world.depth_gz, before_cut, 10000],
+            tmp_path, extra_bin=fake_samtools)
+
+    from palace_tpu.filters.dedup import corrected_dup
+    ours_out = tmp_path / "ours_final.txt"
+    corrected_dup(cycle_f, final_f, ours_out, str(world.fasta) + ".fai",
+                  world.depth_store, before_cut, 10000)
+    assert_same(out_dir_ref / "SAMP_final.txt", ours_out, "corrected_dup")
+
+
+def _mk_fake_blast_bin(tmp_path: Path, canned: Path) -> Path:
+    """makeblastdb/tblastn shims: makeblastdb touches the db path;
+    tblastn copies `<canned>/<query-basename>.hits` to -out.  The canned
+    dir is separate from the protein dir because the reference queries
+    EVERY file in proteins_dir (find_phage_gene_matches.py:142)."""
+    d = tmp_path / "fakeblast"
+    d.mkdir(exist_ok=True)
+    mb = d / "makeblastdb"
+    mb.write_text("#!/bin/sh\nwhile [ $# -gt 0 ]; do\n"
+                  '  [ "$1" = -out ] && touch "$2".faux\n  shift\ndone\nexit 0\n')
+    mb.chmod(0o755)
+    tb = d / "tblastn"
+    tb.write_text("#!/bin/sh\nq=; o=\nwhile [ $# -gt 0 ]; do\n"
+                  '  [ "$1" = -query ] && q="$2"\n'
+                  '  [ "$1" = -out ] && o="$2"\n  shift\ndone\n'
+                  f'cp "{canned}/$(basename "$q").hits" "$o"\n')
+    tb.chmod(0o755)
+    return d
+
+
+def test_find_phage_gene_matches(world, tmp_path):
+    rng = world.rng
+    pdir = tmp_path / "protein_db"
+    pdir.mkdir()
+    canned = tmp_path / "canned"
+    canned.mkdir()
+    fake_blast_bin = _mk_fake_blast_bin(tmp_path, canned)
+    for i in range(2):
+        pf = pdir / f"prot{i}.fasta"
+        pf.write_text(f">prot{i}\nMKV\n")
+        # canned tblastn outfmt "6 qseqid sseqid length pident qlen slen evalue"
+        rows = []
+        for name in rng.sample(world.names, rng.randint(2, 5)):
+            genelen = rng.randint(80, 200)
+            matchlen = rng.randint(int(genelen * 0.5), genelen)
+            pident = round(rng.uniform(60.0, 100.0), 2)
+            rows.append(f"prot{i}\t{name}\t{matchlen}\t{pident}\t{genelen}"
+                        f"\t{int(name.split('_')[3])}\t1e-30")
+        (canned / f"prot{i}.fasta.hits").write_text("\n".join(rows) + "\n")
+
+    ref_out = tmp_path / "ref_search"
+    ours_out = tmp_path / "ours_search"
+    run_ref("find_phage_gene_matches.py",
+            ["-f", world.fasta, "-n", 1, "-o", ref_out, "-p", pdir,
+             "--bin_path", fake_blast_bin], tmp_path, extra_bin=fake_blast_bin)
+
+    from palace_tpu.filters.gene_matches import find_phage_gene_matches
+    find_phage_gene_matches(world.fasta, pdir, ours_out, threads=1,
+                            bin_path=str(fake_blast_bin))
+    # reference writes dict-of-os.listdir order; ours sorts file names —
+    # compare as line multisets
+    assert_same_lineset(ref_out / "hit_seqs.out", ours_out / "hit_seqs.out",
+                        "find_phage_gene_matches hit_seqs")
