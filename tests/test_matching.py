@@ -295,8 +295,9 @@ def test_more_iterations_never_fewer_joins():
 
 
 def test_single_mode_abstains_on_ties_aggressive_resolves():
-    """-s leaves an equal-weight fork unresolved (chimera protection);
-    --aggressive commits to a deterministic choice."""
+    """-s with --no-exact leaves an equal-weight fork unresolved
+    (handshake chimera protection); the r5 default (exact matcher, now
+    enabled for -s too) and --aggressive commit deterministically."""
     segs = [_seg("A"), _seg("B"), _seg("X")]
     juncs = [
         _junc("A", "+", "X", "+", support=10),
@@ -304,10 +305,19 @@ def test_single_mode_abstains_on_ties_aggressive_resolves():
     ]
     g = _graph(segs, juncs)
 
-    res_s = solve_matching(g, MatchingOptions(single_graph=True))
+    res_s = solve_matching(g, MatchingOptions(single_graph=True, exact=False))
     walks_s = sorted(w.tokens() for w in res_s.linear + res_s.cycles)
     # X's best weight is achieved by two different junctions → abstain
     assert walks_s == [["A+"], ["B+"], ["X+"]]
+
+    # default -s now solves exactly: the tie is committed (one junction
+    # joins, total weight 10 — provably maximal) and deterministic
+    res_d = solve_matching(g, MatchingOptions(single_graph=True))
+    walks_d = sorted(w.tokens() for w in res_d.linear + res_d.cycles)
+    assert sorted(len(w) for w in walks_d) == [1, 2]
+    assert walks_d == sorted(
+        w.tokens() for r in [solve_matching(g, MatchingOptions(single_graph=True))]
+        for w in r.linear + r.cycles)
 
     res_a = solve_matching(g, MatchingOptions(aggressive=True))
     walks_a = [w.tokens() for w in res_a.linear + res_a.cycles]
