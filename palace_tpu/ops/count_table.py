@@ -465,7 +465,8 @@ class ShardedCountTable:
             flat = h.reshape(-1)
             pad = (-flat.shape[0]) % n_dev
             flat = jnp.pad(flat, (0, pad))
-            f = _sharded_update_hashes_batch(self.mesh, self.k, self.cap)
+            f = _sharded_update_hashes_batch(self.mesh, self.k, self.cap,
+                                             _cap_win_override())
             new_table, dropped = f(self.table, flat)
             return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
                                      self._accum_dropped(dropped))
@@ -491,7 +492,8 @@ class ShardedCountTable:
         n_dev = int(np.prod(self.mesh.devices.shape))
         if packed.shape[0] % n_dev == 0 and n_dev * self.cap + self.cap <= 255:
             f = _sharded_update_packed_batch(
-                self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k)
+                self.mesh, self.k, self.cap, perm_to_key(perm), kmer_k,
+                _cap_win_override())
             new_table, dropped = f(self.table, jnp.asarray(packed),
                                    jnp.asarray(mask))
             return ShardedCountTable(new_table, self.k, self.mesh, self.cap,
@@ -605,7 +607,7 @@ def _sharded_update_packed(mesh: Mesh, table_bits: int, cap: int,
 
 @functools.lru_cache(maxsize=16)
 def _sharded_update_packed_batch(mesh: Mesh, table_bits: int, cap: int,
-                                 perm_key, kmer_k: int):
+                                 perm_key, kmer_k: int, cap_win: int = 0):
     """Batch-sharded saturating update: every device preprocesses only
     its batch slice.
 
@@ -624,7 +626,8 @@ def _sharded_update_packed_batch(mesh: Mesh, table_bits: int, cap: int,
     rows, width = table_shape(table_bits)
     shard_rows = -(-rows // n_dev)
 
-    scatter = _batch_sharded_scatter(axes, n_dev, shard_rows, width, cap)
+    scatter = _batch_sharded_scatter(axes, n_dev, shard_rows, width, cap,
+                                     cap_win)
 
     def shard_fn(table_shard, packed_loc, mask_loc):
         codes = unpack_codes_mask(packed_loc, mask_loc)
@@ -641,8 +644,16 @@ def _sharded_update_packed_batch(mesh: Mesh, table_bits: int, cap: int,
     return jax.jit(f, donate_argnums=(0,))
 
 
+def _cap_win_override() -> int:
+    """PALACE_SCATTER_CAP_WIN shrinks the windowed-scatter capacity so
+    tests can force overflow through the production read path (uniform
+    hashes never overflow the 2·E default).  Read at builder-call time
+    and folded into the lru keys so env changes take effect."""
+    return int(os.environ.get("PALACE_SCATTER_CAP_WIN", "0") or 0)
+
+
 def _batch_sharded_scatter(axes, n_dev: int, shard_rows: int, width: int,
-                           cap: int):
+                           cap: int, cap_win_override: int = 0):
     """Shared tail of the batch-sharded updates: compress the local
     slice's sorted runs to one clipped increment per distinct value,
     all_gather the (hash, increment) pairs, scatter the slice windows
@@ -669,7 +680,10 @@ def _batch_sharded_scatter(axes, n_dev: int, shard_rows: int, width: int,
 
     def scatter(table_shard, s, total):
         n = s.shape[0]
-        cap_win = min(n, max(256, 2 * (-(-n // n_dev))))
+        if cap_win_override:
+            cap_win = min(n, cap_win_override)
+        else:
+            cap_win = min(n, max(256, 2 * (-(-n // n_dev))))
         pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         nxt = jnp.concatenate([s[1:], s[-1:]])
         is_last = (pos == n - 1) | (s != nxt)
@@ -730,7 +744,8 @@ def _batch_sharded_scatter(axes, n_dev: int, shard_rows: int, width: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_update_hashes_batch(mesh: Mesh, table_bits: int, cap: int):
+def _sharded_update_hashes_batch(mesh: Mesh, table_bits: int, cap: int,
+                                 cap_win: int = 0):
     """Batch-sharded update from a flat pre-hashed array (padded to a
     multiple of the device count; invalid entries already mapped to the
     slot-0 permanent miss)."""
@@ -738,7 +753,8 @@ def _sharded_update_hashes_batch(mesh: Mesh, table_bits: int, cap: int):
     n_dev = int(np.prod(mesh.devices.shape))
     rows, width = table_shape(table_bits)
     shard_rows = -(-rows // n_dev)
-    scatter = _batch_sharded_scatter(axes, n_dev, shard_rows, width, cap)
+    scatter = _batch_sharded_scatter(axes, n_dev, shard_rows, width, cap,
+                                     cap_win)
 
     def shard_fn(table_shard, flat_loc):
         s, total = _sorted_run_lengths(flat_loc, jnp.ones(flat_loc.shape, bool))
