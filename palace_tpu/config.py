@@ -134,6 +134,12 @@ class PalaceConfig:
     blast_ratio: float = 0.7       # palace:572/579
     filter_blast_ratio: float = 0.75  # palace:609
     matching_iters: int = 10       # palace:587-590
+    # global -s solver mode: "" = auto (per-component exact where it
+    # fits), "0" = force handshake (+abstention), "1" = force exact;
+    # matching_aggressive=1 adds the --aggressive greedy pass.  Used by
+    # the mode-sensitivity analysis (tests/test_matching_sensitivity.py)
+    matching_exact: str = ""
+    matching_aggressive: int = 0
     # Dev/test ONLY: when blastn is absent, fabricate full-coverage
     # scaffold↔ref hits instead of degrading to empty outputs the way
     # the reference does (palace:509-534).  Off by default so a

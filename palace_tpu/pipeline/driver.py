@@ -309,6 +309,9 @@ class PalacePipeline:
                 MatchingOptions(
                     iterations=cfg.matching_iters, single_graph=True,
                     hints_path=str(self.out_dir / "02-assembly" / "contigs.paths"),
+                    exact=(None if cfg.matching_exact == ""
+                           else cfg.matching_exact == "1"),
+                    aggressive=bool(cfg.matching_aggressive),
                 ),
             )
             remove_duplicate_pairs(cycle, cycle_nodup)
