@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-B = 256
+B = 128           # im2col operands scale with B·L — 128 keeps the
+                  # largest case ~1 GB and the compile set tractable
 L = 4082          # conv1 output length at k=8 over 4089 in
 ROUNDS = 5
 DTYPE = jnp.bfloat16
@@ -71,11 +72,15 @@ def build():
     case("tapdot64", lambda s, x2=x2, w2=w2: jnp.einsum("blk,kn->bln", x2 + s, w2),
          flops(L, 64, 64, B))
 
-    # judge-suggested im2col shape: (B*L, 8*128)x(8*128, 64)
+    # judge-suggested im2col shapes: (B*L, C*K)x(C*K, 64)
     xi = rnd(B * L, 1024)
     wi = rnd(1024, 64)
-    case("im2col512", lambda s, xi=xi, wi=wi: (xi + s) @ wi,
+    case("im2col1024", lambda s, xi=xi, wi=wi: (xi + s) @ wi,
          flops(B * L, 64, 1024))
+    xj = rnd(B * L, 512)          # conv2/3 class: (B·4075, 512)x(512, 64)
+    wj = rnd(512, 64)
+    case("im2col512", lambda s, xj=xj, wj=wj: (xj + s) @ wj,
+         flops(B * L, 64, 512))
 
     # paired-output-position variant: N=128 lanes, K=9 taps
     xp = rnd(B * L // 2, 1152)
