@@ -44,11 +44,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from palace_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 BATCH = 64          # per-measurement global batch (constant across N)
-SAMPLES = int(os.environ.get("SCALING_SAMPLES", "8"))
+SAMPLES = int(os.environ.get("SCALING_SAMPLES", "6"))
 
 
 def _med_stats(ts, work_items):
@@ -148,18 +152,23 @@ def main():
         def f(sv, iv):
             sa = jax.lax.all_gather(sv, ("data", "model"))
             ia = jax.lax.all_gather(iv, ("data", "model"))
-            return sa.sum(dtype=jnp.uint32) + ia.sum(dtype=jnp.uint32)
+            dev = (jax.lax.axis_index("data") * jax.lax.axis_size("model")
+                   + jax.lax.axis_index("model")).astype(jnp.uint32)
+            tot = sa.sum(dtype=jnp.uint32) + ia.sum(dtype=jnp.uint32) + dev
+            return tot.reshape(1)
 
         return shard_map(
             f, mesh=mesh8, in_specs=(P("data"), P("data")),
-            out_specs=P("data", "model"))(s, inc)
+            out_specs=P(("data", "model")))(s, inc)
 
     variants["table_n8_gather_only"] = lambda: gather_only()
 
     # warm/compile every variant, then interleave samples
     for name, step in variants.items():
+        t0 = time.perf_counter()
         jax.block_until_ready(step())
-        jax.block_until_ready(step())
+        print(f"compiled {name} in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
     times = {name: [] for name in variants}
     for _ in range(SAMPLES):
         for name, step in variants.items():
