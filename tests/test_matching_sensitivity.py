@@ -48,6 +48,10 @@ def mode_runs(tmp_path_factory):
 
     base = tmp_path_factory.mktemp("sens")
     src_root = base / "src"
+    # make_demo draws from a MODULE-level RNG stream — reset it so the
+    # planted genomes match the regeneration below regardless of which
+    # other test modules consumed the stream first
+    make_demo.RNG = np.random.default_rng(123)
     cfg_path = make_demo.build(src_root)
 
     finals = {}

@@ -123,8 +123,13 @@ def demo_pair(tmp_path_factory):
 
     base = tmp_path_factory.mktemp("replay")
 
-    # pass 1: discover the filtered.fasta record names for prestaging
+    import numpy as np
+
+    # pass 1: discover the filtered.fasta record names for prestaging.
+    # make_demo draws from a MODULE-level RNG stream — reset per build
+    # so probe and arm-A worlds are identical regardless of test order
     probe_root = base / "probe"
+    make_demo.RNG = np.random.default_rng(123)
     cfg_path = make_demo.build(probe_root)
     _fabricate_assembly_blast(probe_root / "output")
     run_pipeline(PalaceConfig.from_file(cfg_path))
@@ -132,6 +137,7 @@ def demo_pair(tmp_path_factory):
 
     # pass 2 (arm A): fresh world, both blasts prestaged, our driver
     ours_root = base / "ours"
+    make_demo.RNG = np.random.default_rng(123)
     cfg_path = make_demo.build(ours_root)
     _fabricate_assembly_blast(ours_root / "output")
     match_dir = ours_root / "output" / "04-match"
