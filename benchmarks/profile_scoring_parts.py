@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPS = int(os.environ.get("PROF_REPS", "3"))
 ITERS = int(os.environ.get("PROF_ITERS", "32"))
-BATCH = 256
+BATCH = int(os.environ.get("PROF_BATCH", "256"))
 CONTIG_LEN = 10_000
 
 
@@ -85,9 +85,13 @@ def main() -> None:
         return statistics.median(ts) / ITERS * 1e3  # ms per iteration
 
     out = {"batch": BATCH, "contig_len": CONTIG_LEN, "reps": REPS,
+           # suffix the artifact per batch so runs do not clobber
+
            "iters": ITERS,
            "pallas": not os.environ.get("PALACE_NO_PALLAS")}
-    path = Path(__file__).parent / "scoring_parts.json"
+    path = Path(__file__).parent / (
+        "scoring_parts.json" if BATCH == 256
+        else f"scoring_parts_b{BATCH}.json")
 
     def save():
         path.write_text(json.dumps(out, indent=1) + "\n")
