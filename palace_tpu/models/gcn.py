@@ -219,18 +219,19 @@ def forward(params: Params, x_p: jnp.ndarray, x_f: jnp.ndarray,
     x_f = (x_f.reshape(B, f) @ params["fnode_d.w"] + params["fnode_d.b"]).reshape(B, f, d3)
 
     # alternating bipartite SAGE rounds (phage_scoring.py:101-110).
-    # PALACE_GCN_SAGE=pallas opts the eval path into the fused
-    # per-batch-row VMEM kernel (gcn_sage_pallas: both rounds + the
-    # inter-round LayerNorm, one HBM read + one write).  Default stays
-    # XLA: isolated, the kernel measures ~1.4× faster than the isolated
-    # SAGE block, but the FULL fused scorer is unchanged (13.2 ms both
-    # ways at B=256 bf16) — inside the whole graph XLA already fuses
-    # the rounds against the lift/conv neighbours, so the isolated
-    # 8 ms attribution was an over-add artifact (ANALYSIS.md).
+    # The fused per-batch-row VMEM kernel (gcn_sage_pallas: both rounds
+    # + the inter-round LayerNorm, one HBM read + one write) is the
+    # DEFAULT on the eval path since r5: the SAGE block is HBM-bound
+    # (~3 GB of (B,4096,128) traffic at B=512 — scoring_parts_b512),
+    # and the same-window chained A/B measured the full scorer 25.2 →
+    # 20.4 ms/512 (20.3k → 25.1k contigs/s) with the kernel on.  The
+    # r4 "no change at B=256" conclusion came from dispatch-RTT-polluted
+    # timing (benchmarks/conv_dot_probe.py docstring).  Opt out with
+    # PALACE_GCN_SAGE=xla.
     from palace_tpu.ops.pallas_kernels import gcn_sage_pallas, use_pallas as _up
 
     if (dropout_key is None and cfg.num_layers == 2 and _up()
-            and os.environ.get("PALACE_GCN_SAGE") == "pallas"):
+            and os.environ.get("PALACE_GCN_SAGE", "pallas") == "pallas"):
         x_p = gcn_sage_pallas(params, x_p, x_f, cfg)
         return _head(params, x_p, cfg, keys, return_logits,
                      dropout_key=None)
