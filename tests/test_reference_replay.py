@@ -158,7 +158,7 @@ def demo_pair(tmp_path_factory):
     return final_ours, final_replay, ours_root, replay_root
 
 
-def _replay_steps_4_6(out: Path, probe_filtered: Path, fakebin_dir: Path) -> Path:
+def _replay_steps_4_6(out: Path, probe_filtered, fakebin_dir: Path) -> Path:
     from palace_tpu.graph.depth import DepthStore
     from palace_tpu.graph.native import build_graph, compute_depth_file
     from palace_tpu.io.fasta import FastaStore, build_fai
@@ -210,8 +210,11 @@ def _replay_steps_4_6(out: Path, probe_filtered: Path, fakebin_dir: Path) -> Pat
     run_ref("filter_result.py",
             [fasta, all_result, filtered_fasta, blast, 0.75, hit_out,
              scores, filtered_cycle], out)
-    _fabricate_filtered_blast(probe_filtered,
-                              match / f"{prefix}_filtered.fasta.blast")
+    if probe_filtered is not None:
+        _fabricate_filtered_blast(probe_filtered,
+                                  match / f"{prefix}_filtered.fasta.blast")
+    else:  # hostile world: blast boundary degrades to empty, both arms
+        (match / f"{prefix}_filtered.fasta.blast").touch()
 
     # ---- step 5 ----
     furth = out / "05-furth"
@@ -306,7 +309,17 @@ def _replay_steps_4_6(out: Path, probe_filtered: Path, fakebin_dir: Path) -> Pat
     before_cut = final_dir / f"{prefix}_all_before_cut.txt"
     with open(before_cut, "w") as fh:
         for c in sorted(sm.glob("*_all_result_before_cut.txt")):
-            fh.write(c.read_text())
+            for line in c.read_text().splitlines(keepends=True):
+                # the remain fallback (palace:728-729, no scaffolds.fasta)
+                # copies PLAIN path lines into before_cut; the reference
+                # corrected_dup.py:614 ValueErrors on any line without
+                # ':' — unreachable upstream (SPAdes always leaves
+                # scaffolds.fasta, so parse_remain/filter_by_blast write
+                # the cut:orig format).  Our parser skips such lines;
+                # strip them for the subprocess so both arms see the
+                # same effective map (PARITY crash-modes note).
+                if ":" in line:
+                    fh.write(line)
     filtered_final_tmp = final_dir / f"{prefix}_filtered_final_tmp.txt"
     run_ref("filter_cycle_gene_score.py",
             [final_tmp, 0, hit_out, scores, filtered_final_tmp], out)
@@ -371,3 +384,40 @@ def test_intermediate_artifacts_agree(demo_pair):
         else:
             assert sorted(filter(None, a.splitlines())) == \
                 sorted(filter(None, b.splitlines())), f"{rel} differs"
+
+
+@pytest.fixture(scope="module")
+def hostile_pair(tmp_path_factory):
+    """The adversarial demo (shared copy-2 repeat, sub-MIN_COUNT chimera
+    junction, decoy score/reference) through the same composition
+    differential — no prestaged blasts, so both arms ride the
+    remain-fallback path with the repeat/copy-number machinery hot."""
+    import make_demo
+
+    from palace_tpu.config import PalaceConfig
+    from palace_tpu.pipeline.driver import run_pipeline
+
+    base = tmp_path_factory.mktemp("hostile_replay")
+    ours_root = base / "ours"
+    cfg_path = make_demo.build_hostile(ours_root)
+    final_ours = run_pipeline(PalaceConfig.from_file(cfg_path))
+
+    replay_root = base / "replay"
+    shutil.copytree(ours_root, replay_root)
+    out = replay_root / "output"
+    for sub in ("04-match", "05-furth", "final_result"):
+        shutil.rmtree(out / sub, ignore_errors=True)
+    # build_hostile uses the same prefix/filenames as build (prefix=demo)
+    final_replay = _replay_steps_4_6(out, None, base / "fakebin")
+    return final_ours, final_replay
+
+
+def test_hostile_final_fasta_matches(hostile_pair):
+    from palace_tpu.io.fasta import iter_fasta
+
+    final_ours, final_replay = hostile_pair
+    ours = dict(iter_fasta(final_ours))
+    replay = dict(iter_fasta(final_replay))
+    assert sorted(ours.values()) == sorted(replay.values()), (
+        f"hostile final FASTA diverges\nours: { {k: len(v) for k, v in ours.items()} }"
+        f"\nreplay: { {k: len(v) for k, v in replay.items()} }")

@@ -30,7 +30,7 @@ pytestmark = [
     pytest.mark.skipif(not REF.exists(), reason="reference tree unavailable"),
 ]
 
-SEEDS = [0, 1, 2, 3, 4]
+SEEDS = [0, 1, 2, 3, 4, 5, 6, 7]
 
 
 # ---------------------------------------------------------------------------
