@@ -311,3 +311,145 @@ if __name__ == "__main__":
         build_hostile(root)
     else:
         build(root)
+
+
+def build_random(root: Path, seed: int):
+    """Randomized world for the composition differential
+    (tests/test_random_world_replay.py): 2-3 planted phages with random
+    contig decompositions (circular or linear), 0-2 bacterial decoy
+    contigs, clean junction evidence — returns (config_path, expected)
+    where expected = [(genome_seq, is_circular), ...].
+
+    Structure is randomized; EVIDENCE is clean (junction support 6 ≥
+    MIN_COUNT, scores 0.95 vs decoy 0.05) so every planted genome must
+    reconstruct — giving the replay vs-driver comparison a ground truth
+    beyond mere agreement.
+    """
+    rng = np.random.default_rng(seed)
+
+    def seq(n):
+        return "".join(rng.choice(list("ACGT"), size=int(n)))
+
+    out_dir = root / "output"
+    contigs: dict = {}
+    junctions = []
+    fastg_next: dict = {}
+    paths_lines = []
+    phagedb = []
+    expected = []
+    next_edge = 1
+
+    n_phage = int(rng.integers(2, 4))
+    for pi in range(n_phage):
+        n_parts = int(rng.integers(2, 5))
+        lens = rng.integers(2500, 9000, n_parts)
+        while lens.sum() < 10500:
+            lens[0] += 5000
+        genome = seq(lens.sum())
+        circular = bool(rng.random() < 0.6)
+        names_i = []
+        off = 0
+        for L in lens:
+            nm = f"EDGE_{next_edge}_length_{int(L)}_cov_10.0"
+            next_edge += 1
+            contigs[nm] = genome[off:off + int(L)]
+            off += int(L)
+            names_i.append(nm)
+        for a, b in zip(names_i, names_i[1:]):
+            junctions.append((a, b))
+            fastg_next.setdefault(a, []).append(b)
+        if circular:
+            junctions.append((names_i[-1], names_i[0]))
+            fastg_next.setdefault(names_i[-1], []).append(names_i[0])
+        paths_lines.append(
+            f"NODE_{pi + 1}_length_{int(lens.sum())}_cov_10")
+        paths_lines.append(
+            ",".join(f"{n.split('_')[1]}+" for n in names_i) + ";")
+        phagedb.append((f"phage{pi}", genome))
+        expected.append((genome, circular))
+
+    decoys = []
+    for _ in range(int(rng.integers(0, 3))):
+        L = int(rng.integers(5000, 15000))
+        nm = f"EDGE_{next_edge}_length_{L}_cov_10.0"
+        next_edge += 1
+        contigs[nm] = seq(L)
+        decoys.append(nm)
+
+    tid_of = {n: i for i, n in enumerate(contigs)}
+
+    qc = out_dir / "01-qc"
+    qc.mkdir(parents=True, exist_ok=True)
+    reads = []
+    for genome, circular in expected:
+        reads += _tile(genome + (genome[:100] if circular else ""))
+    _write_fastq(qc / "demo_1_filter.fastq", reads)
+    _write_fastq(qc / "demo_2_filter.fastq", reads)
+
+    asm = out_dir / "02-assembly"
+    asm.mkdir(parents=True, exist_ok=True)
+    (asm / "contigs.fasta").write_text(
+        "".join(f">{n}\n{s}\n" for n, s in contigs.items()))
+    write_fasta(asm / "assembly_graph.fasta", list(contigs.items()))
+    with open(asm / "assembly_graph.fastg", "w") as fh:
+        for n, s in contigs.items():
+            nbrs = fastg_next.get(n)
+            head = f">{n}:{','.join(nbrs)};" if nbrs else f">{n};"
+            fh.write(f"{head}\n{s}\n")
+    (asm / "contigs.paths").write_text("\n".join(paths_lines) + "\n")
+
+    records = []
+    for an, bn in junctions:
+        a = tid_of[an]
+        for i in range(6):
+            records.append(BamRecord(
+                name=f"sr_{a}_{tid_of[bn]}_{i}", flag=0, tid=a,
+                pos=len(contigs[an]) - 50, mapq=60,
+                cigar=[(50, "M"), (50, "S")], mtid=-1, mpos=-1,
+                tlen=0, seq_len=100,
+                tags={"NM": 0, "SA": f"{bn},1,+,50S50M,60,0;"}))
+    for tid, name in enumerate(contigs):
+        L = len(contigs[name])
+        for rep in range(2):
+            for pos in range(0, L - 100, 50):
+                records.append(BamRecord(
+                    name=f"cov_{tid}_{rep}_{pos}", flag=0, tid=tid,
+                    pos=pos, mapq=60, cigar=[(100, "M")], mtid=-1,
+                    mpos=-1, tlen=0, seq_len=100, tags={"NM": 0}))
+    write_bam(
+        asm / "demo_reads_pe_primary.sort.bam",
+        BamFile(references=[(n, len(s)) for n, s in contigs.items()],
+                records=records))
+
+    search = out_dir / "03-search"
+    search.mkdir(parents=True, exist_ok=True)
+    with open(search / "hit_seqs.out", "w") as fh:
+        for n in contigs:
+            if n not in decoys:
+                fh.write(f"{n}\t8\n")
+    with open(search / "node_scores.out", "w") as fh:
+        for n in contigs:
+            fh.write(f"{n}\t{0.05 if n in decoys else 0.95}\n")
+
+    db = root / "phagedb.fasta"
+    write_fasta(db, phagedb + [("decoyref", seq(15000))])
+    protein_dir = root / "protein_db"
+    protein_dir.mkdir(exist_ok=True)
+    (protein_dir / "proteins.fasta").write_text(">prot1\nMAAAKKK\n")
+
+    cfg = root / "config.txt"
+    cfg.write_text(
+        f"fastq1={qc / 'demo_1_filter.fastq'}\n"
+        f"fastq2={qc / 'demo_2_filter.fastq'}\n"
+        f"phagedb={db}\n"
+        f"protein_db={protein_dir}\n"
+        f"gcn_model={db}\n"
+        f"out_dir={out_dir}\n"
+        "prefix=demo\n"
+        "threads=2\n"
+        "MIN_LEN=10000\n"
+        "kmer_k=16\n"
+        "kmer_window=200\n"
+        "dev_fabricate_blast=1\n"
+    )
+    return cfg, expected
