@@ -339,8 +339,62 @@ def build_random(root: Path, seed: int):
     expected = []
     next_edge = 1
 
-    n_phage = int(rng.integers(2, 4))
-    for pi in range(n_phage):
+    cov_passes: dict = {}
+    phage_members: list = []
+    node_no = 1
+
+    def add_chain(names_i, circular):
+        for a, b in zip(names_i, names_i[1:]):
+            junctions.append((a, b))
+            fastg_next.setdefault(a, []).append(b)
+        if circular:
+            junctions.append((names_i[-1], names_i[0]))
+            fastg_next.setdefault(names_i[-1], []).append(names_i[0])
+
+    def add_path_hint(names_i, total):
+        nonlocal node_no
+        paths_lines.append(f"NODE_{node_no}_length_{int(total)}_cov_10")
+        paths_lines.append(
+            ",".join(f"{n.split('_')[1]}+" for n in names_i) + ";")
+        node_no += 1
+
+    # adversarial option 1 (p=0.6): a pair of circular phages sharing a
+    # copy-2 repeat contig (the hostile-demo shape, here with random
+    # flank sizes) — the solver must traverse R twice and the SPAdes
+    # hints must break the flank tie
+    if rng.random() < 0.6:
+        r_len = int(rng.integers(2500, 4000))
+        repeat = seq(r_len)
+        flanks = [int(x) for x in rng.integers(4500, 9000, 4)]
+        a1s, a2s, b1s, b2s = (seq(L) for L in flanks)
+        rn = f"EDGE_{next_edge}_length_{r_len}_cov_20.0"
+        next_edge += 1
+        fl_names = []
+        for s_, L in zip((a1s, a2s, b1s, b2s), flanks):
+            nm = f"EDGE_{next_edge}_length_{L}_cov_10.0"
+            next_edge += 1
+            contigs[nm] = s_
+            fl_names.append(nm)
+        contigs[rn] = repeat
+        cov_passes[rn] = 4
+        a1n, a2n, b1n, b2n = fl_names
+        genome_a = a1s + repeat + a2s
+        genome_b = b1s + repeat + b2s
+        add_chain([a1n, rn, a2n], circular=True)
+        add_chain([b1n, rn, b2n], circular=True)
+        add_path_hint([a1n, rn, a2n], len(genome_a))
+        add_path_hint([b1n, rn, b2n], len(genome_b))
+        phagedb.append((f"phage{len(expected)}", genome_a))
+        expected.append((genome_a, True))
+        phage_members.append([a1n, rn, a2n])
+        phagedb.append((f"phage{len(expected)}", genome_b))
+        expected.append((genome_b, True))
+        phage_members.append([b1n, rn, b2n])
+        n_phage = int(rng.integers(0, 2))
+    else:
+        n_phage = int(rng.integers(2, 4))
+
+    for _ in range(n_phage):
         n_parts = int(rng.integers(2, 5))
         lens = rng.integers(2500, 9000, n_parts)
         while lens.sum() < 10500:
@@ -355,18 +409,11 @@ def build_random(root: Path, seed: int):
             contigs[nm] = genome[off:off + int(L)]
             off += int(L)
             names_i.append(nm)
-        for a, b in zip(names_i, names_i[1:]):
-            junctions.append((a, b))
-            fastg_next.setdefault(a, []).append(b)
-        if circular:
-            junctions.append((names_i[-1], names_i[0]))
-            fastg_next.setdefault(names_i[-1], []).append(names_i[0])
-        paths_lines.append(
-            f"NODE_{pi + 1}_length_{int(lens.sum())}_cov_10")
-        paths_lines.append(
-            ",".join(f"{n.split('_')[1]}+" for n in names_i) + ";")
-        phagedb.append((f"phage{pi}", genome))
+        add_chain(names_i, circular)
+        add_path_hint(names_i, lens.sum())
+        phagedb.append((f"phage{len(expected)}", genome))
         expected.append((genome, circular))
+        phage_members.append(names_i)
 
     decoys = []
     for _ in range(int(rng.integers(0, 3))):
@@ -399,9 +446,18 @@ def build_random(root: Path, seed: int):
     (asm / "contigs.paths").write_text("\n".join(paths_lines) + "\n")
 
     records = []
-    for an, bn in junctions:
+    # adversarial option 2 (p=0.6): a chimera-bait junction between two
+    # different phages with support 3 < MIN_COUNT=5 — must vanish
+    if len(phage_members) >= 2 and rng.random() < 0.6:
+        pa, pb = rng.choice(len(phage_members), 2, replace=False)
+        an = phage_members[int(pa)][0]
+        bn = phage_members[int(pb)][-1]
+        junctions.append((an, bn, 3))
+    for j in junctions:
+        an, bn = j[0], j[1]
+        count = j[2] if len(j) > 2 else 6
         a = tid_of[an]
-        for i in range(6):
+        for i in range(count):
             records.append(BamRecord(
                 name=f"sr_{a}_{tid_of[bn]}_{i}", flag=0, tid=a,
                 pos=len(contigs[an]) - 50, mapq=60,
@@ -410,7 +466,7 @@ def build_random(root: Path, seed: int):
                 tags={"NM": 0, "SA": f"{bn},1,+,50S50M,60,0;"}))
     for tid, name in enumerate(contigs):
         L = len(contigs[name])
-        for rep in range(2):
+        for rep in range(cov_passes.get(name, 2)):
             for pos in range(0, L - 100, 50):
                 records.append(BamRecord(
                     name=f"cov_{tid}_{rep}_{pos}", flag=0, tid=tid,
@@ -429,7 +485,13 @@ def build_random(root: Path, seed: int):
                 fh.write(f"{n}\t8\n")
     with open(search / "node_scores.out", "w") as fh:
         for n in contigs:
-            fh.write(f"{n}\t{0.05 if n in decoys else 0.95}\n")
+            if n in decoys:
+                # adversarial option 3: sometimes score a decoy 0.69 —
+                # just under filter_graph's 0.7 gate
+                s = 0.69 if rng.random() < 0.5 else 0.05
+            else:
+                s = 0.95
+            fh.write(f"{n}\t{s}\n")
 
     db = root / "phagedb.fasta"
     write_fasta(db, phagedb + [("decoyref", seq(15000))])
