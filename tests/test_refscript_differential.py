@@ -809,3 +809,61 @@ def test_find_phage_gene_matches(world, tmp_path):
     # compare as line multisets
     assert_same_lineset(ref_out / "hit_seqs.out", ours_out / "hit_seqs.out",
                         "find_phage_gene_matches hit_seqs")
+
+
+def test_empty_evidence_world(tmp_path):
+    """Degenerate inputs: EMPTY gene/blast files and no-hit scores — the
+    seed-selection scripts must agree on the nothing-qualifies path."""
+    import random
+
+    world = World(tmp_path / "w", random.Random(99))
+    empty_genes = tmp_path / "empty_genes.txt"
+    empty_genes.write_text("")
+    empty_blast = tmp_path / "empty.blast"
+    empty_blast.write_text("")
+    low_scores = tmp_path / "low_scores.txt"
+    low_scores.write_text("".join(f"{n}\t0.010000\n" for n in world.names))
+
+    fastg_fai = tmp_path / "assembly.fastg.fai"
+    with open(fastg_fai, "w") as fh:
+        for name in world.names:
+            fh.write(f"{name};\t{len(world.seqs[name])}\t0\t80\t81\n")
+
+    out_ref = tmp_path / "ref_filtered.txt"
+    out_ours = tmp_path / "ours_filtered.txt"
+    hits_ref = tmp_path / "ref_hits.txt"
+    hits_ours = tmp_path / "ours_hits.txt"
+    run_ref("filter_graph.py",
+            [fastg_fai, world.graph, out_ref, 30, 0, empty_genes, low_scores,
+             empty_blast, 0.7, world.fai, hits_ref, world.paths, 0.7],
+            tmp_path)
+
+    from palace_tpu.graph.filter import filter_graph
+    filter_graph(fastg_fai, world.graph, out_ours, empty_genes, low_scores,
+                 empty_blast, 0.7, world.fai, hits_ours, world.paths, 0.7)
+    assert sorted(read(out_ref).splitlines()) == \
+        sorted(read(out_ours).splitlines()), "empty-evidence filter_graph"
+    assert_same_lineset(hits_ref, hits_ours, "empty-evidence hit_segs")
+
+    # filter_result on the same nothing-qualifies evidence
+    fa_ref = tmp_path / "ref_f.fasta"
+    fa_ours = tmp_path / "ours_f.fasta"
+    cyc_ref = tmp_path / "ref_c.txt"
+    cyc_ours = tmp_path / "ours_c.txt"
+    run_ref("filter_result.py",
+            [world.fasta, world.linear, fa_ref, empty_blast, 0.75,
+             empty_genes, low_scores, cyc_ref], tmp_path)
+    from palace_tpu.filters.result_filter import filter_result
+    filter_result(world.fasta, world.linear, fa_ours, empty_blast, 0.75,
+                  empty_genes, low_scores, cyc_ours)
+    assert_same_fasta(fa_ref, fa_ours, "empty-evidence filter_result")
+    assert_same_lineset(cyc_ref, cyc_ours, "empty-evidence cycle")
+
+    # filter_cycle_gene_score with empty gene evidence
+    out2_ref = tmp_path / "ref_fc.txt"
+    out2_ours = tmp_path / "ours_fc.txt"
+    run_ref("filter_cycle_gene_score.py",
+            [world.linear, 0, empty_genes, low_scores, out2_ref], tmp_path)
+    from palace_tpu.filters.cycle_filter import filter_cycle_gene_score
+    filter_cycle_gene_score(world.linear, 0, empty_genes, low_scores, out2_ours)
+    assert_same_lineset(out2_ref, out2_ours, "empty-evidence fcgs")
