@@ -196,9 +196,12 @@ def main() -> None:
     out["convhead_ms"] = bench(lambda salt: convhead(params, xp_big, salt))
     save()
 
-    out["unattributed_ms"] = (out["full_ms"] - out["encoder_ms"]
-                              - out["lift_ms"] - out["sage_ms"]
-                              - out["convhead_ms"])
+    # negative = the isolated blocks OVER-ADD relative to the fused
+    # whole (XLA fuses across block boundaries); positive = time the
+    # block split does not attribute
+    out["full_minus_blocks_ms"] = (out["full_ms"] - out["encoder_ms"]
+                                   - out["lift_ms"] - out["sage_ms"]
+                                   - out["convhead_ms"])
     save()
     for k, v in out.items():
         print(f"{k:18s} {v}")
